@@ -1,0 +1,191 @@
+"""Vectorized geometry math for the path tracer.
+
+Every function here is shape-polymorphic over a leading batch of rays and is
+pure VPU work under jit (no gathers, no data-dependent control flow). These
+are the TPU counterparts of the reference's HLSL intersection/shading helpers
+in `Halogen Shaders/HalgoenCompute.compute` (cited per function).
+
+Convention: 3-vectors are stored in the trailing axis ([..., 3]); batched
+broadcasting follows numpy rules.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+INF = np.float32(np.inf)
+HIT_EPS = np.float32(1e-4)  # hitDistanceEpsilon (HalgoenCompute.compute:360,383)
+OFFSET_EPS = np.float32(1e-4)  # surface offset (HalgoenCompute.compute:710,724)
+DET_EPS = np.float32(1e-8)  # parallel-ray cutoff (HalgoenCompute.compute:321)
+
+
+def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(a * b, axis=-1)
+
+
+def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cross(a, b)
+
+
+def normalize(v: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v / jnp.maximum(n, eps) if eps else v / n
+
+
+def transform_point(mat: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Apply a [..., 4, 4] affine matrix to [..., 3] points (w = 1)."""
+    return (
+        jnp.einsum("...ij,...j->...i", mat[..., :3, :3], p) + mat[..., :3, 3]
+    )
+
+
+def transform_dir(mat: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Apply a [..., 4, 4] matrix to [..., 3] directions (w = 0)."""
+    return jnp.einsum("...ij,...j->...i", mat[..., :3, :3], d)
+
+
+def transform_normal(world_to_local: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Transform a normal by the inverse-transpose of local->world, i.e.
+    n' = (W2L)^T n (HalgoenCompute.compute:467)."""
+    return jnp.einsum("...ji,...j->...i", world_to_local[..., :3, :3], n)
+
+
+def ray_aabb(
+    lo: jnp.ndarray, hi: jnp.ndarray, origin: jnp.ndarray, inv_dir: jnp.ndarray
+) -> jnp.ndarray:
+    """Slab test (HalgoenCompute.compute:244-259).
+
+    Returns entry distance tMin (which may be negative when the origin is
+    inside the box — the reference keeps that semantics for its
+    nearest-child traversal ordering), or +inf on miss.
+    """
+    t1 = (lo - origin) * inv_dir
+    t2 = (hi - origin) * inv_dir
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return jnp.where(tmax > jnp.maximum(0.0, tmin), tmin, INF)
+
+
+def sphere_intersect(
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    center: jnp.ndarray,
+    radius: jnp.ndarray,
+):
+    """Quadratic sphere test (HalgoenCompute.compute:266-303).
+
+    Returns (t, orientation): nearest positive-ish root with the reference's
+    inside-sphere handling — if the near root is behind the origin the far
+    root is used and orientation flips to -1 (hit from inside). t may still
+    be negative (behind); callers filter with t > HIT_EPS. Misses are +inf.
+    """
+    oc = origin - center
+    b = 2.0 * dot(oc, direction)
+    c = dot(oc, oc) - radius * radius
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_near = (-b - sq) * 0.5
+    t_far = (-b + sq) * 0.5
+    inside = t_near < 0.0
+    t = jnp.where(inside, t_far, t_near)
+    orientation = jnp.where(inside, -1.0, 1.0)
+    t = jnp.where(disc >= 0.0, t, INF)
+    return t, orientation
+
+
+def triangle_intersect(
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    v0: jnp.ndarray,
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+):
+    """Double-sided Möller-Trumbore (HalgoenCompute.compute:307-355).
+
+    Returns (t, u, v, orientation); t = +inf on miss, orientation =
+    sign(determinant) (+1 front face, -1 back face). Barycentrics follow the
+    reference's layout: the interpolated normal is
+    n0 + (n1-n0)*u + (n2-n0)*v (HalgoenCompute.compute:463).
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = cross(direction, e2)
+    det = dot(pvec, e1)
+    parallel = jnp.abs(det) < DET_EPS
+    inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+    tvec = origin - v0
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1)
+    v = dot(direction, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
+    valid = (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    t = jnp.where(valid, t, INF)
+    return t, u, v, jnp.sign(det)
+
+
+def reflect(incident: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
+    """Mirror reflection (HalgoenCompute.compute:506-509)."""
+    return incident - 2.0 * dot(incident, normal)[..., None] * normal
+
+
+def refract(incident: jnp.ndarray, normal: jnp.ndarray, n1, n2):
+    """Snell refraction with total-internal-reflection handling
+    (HalgoenCompute.compute:557-572).
+
+    Returns (direction, tir_mask). On TIR the direction is the mirror
+    reflection, as in the reference.
+    """
+    cos_theta = jnp.minimum(dot(-incident, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    eta = n1 / n2
+    tir = eta * sin_theta > 1.0
+    r_perp = eta[..., None] * (incident + cos_theta[..., None] * normal)
+    # |r_perp|^2, clamped like the reference's abs()
+    perp_len2 = jnp.sum(r_perp * r_perp, axis=-1)
+    r_par = -jnp.sqrt(jnp.abs(1.0 - perp_len2))[..., None] * normal
+    refracted = r_perp + r_par
+    reflected = reflect(incident, normal)
+    return jnp.where(tir[..., None], reflected, refracted), tir
+
+
+def schlick_adjusted_specular(
+    n1, n2, normal: jnp.ndarray, incident: jnp.ndarray, min_spec, max_spec
+):
+    """Fresnel-adjusted specular probability (HalgoenCompute.compute:519-540):
+    Schlick with entering/exiting handling, lerped into [min_spec, max_spec].
+    """
+    r0 = (n1 - n2) / (n1 + n2)
+    r0 = r0 * r0
+    cos_x = -dot(normal, incident)
+    n = n1 / n2
+    sin_t2 = n * n * (1.0 - cos_x * cos_x)
+    exiting = n1 > n2
+    tir = exiting & (sin_t2 > 1.0)
+    cos_x = jnp.where(
+        exiting, jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t2)), cos_x
+    )
+    x = 1.0 - cos_x
+    ret = r0 + (1.0 - r0) * x * x * x * x * x
+    out = min_spec + (max_spec - min_spec) * ret
+    return jnp.where(tir, max_spec, out)
+
+
+def lambertian_scatter(normal: jnp.ndarray, random_unit: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-ish scatter: normalize(normal + uniform unit vector), guarding
+    the degenerate opposite-vector case (HalgoenCompute.compute:491-501)."""
+    s = normal + random_unit
+    tiny = jnp.sum(s * s, axis=-1, keepdims=True) < np.float32(1e-16)
+    s = jnp.where(tiny, normal, s)
+    return normalize(s)
+
+
+def lerp(a, b, t):
+    return a + (b - a) * t

@@ -1,0 +1,398 @@
+"""Scene intersection backends.
+
+Two TPU-native formulations of the reference's intersection layer
+(`HalgoenCompute.compute:244-485`):
+
+- **Brute-force** (`intersect_brute`): rays x triangle-blocks on
+  world-space pre-transformed triangles. Completely regular — no gathers,
+  no divergence; a `lax.scan` over lane-aligned triangle tiles with a
+  running min. For Cornell-class scenes this maps at speed-of-light onto
+  the VPU and beats any divergent traversal. Spheres are tested in one
+  vectorized pass (the reference also linear-scans spheres,
+  compute:357-376).
+
+- **BVH traversal** (`intersect_bvh`): the semantics oracle of the
+  reference's per-mesh stack traversal (compute:378-472) — local-space
+  unnormalized rays (world-t preservation trick, compute:390-392),
+  fixed-depth stacks, nearest-child-first descent, leaf triangle tests —
+  vectorized over all rays in lockstep with per-ray masks. Gather-bound on
+  TPU; used for triangle counts beyond the brute-force threshold.
+
+Both return an identical `HitRecord` plus (triangle_tests, box_tests)
+counters for the debug heatmaps (compute:192-193).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from halogen_tpu.config import Intersector, RenderSettings
+from halogen_tpu.core.math import (
+    HIT_EPS,
+    INF,
+    normalize,
+    ray_aabb,
+    sphere_intersect,
+    transform_dir,
+    transform_normal,
+    transform_point,
+    triangle_intersect,
+)
+from halogen_tpu.core.types import HitRecord, SceneData
+
+STACK_DEPTH = 32  # NodeStack[32] (HalgoenCompute.compute:397)
+
+
+def _safe_inv(d: jnp.ndarray) -> jnp.ndarray:
+    """1/dir with zero components clamped so the slab test stays NaN-free
+    (the reference relies on HLSL min/max NaN behavior; we avoid NaNs)."""
+    tiny = np.float32(1e-30)
+    return 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+
+
+def _onehot_min(t: jnp.ndarray, values: tuple[jnp.ndarray, ...]):
+    """Per-row min over the last axis of t [N, B]; returns (min_t, picked
+    values) selecting each `values[k]` [N, B] at the argmin — implemented
+    with a one-hot reduction (no gathers, VPU-friendly)."""
+    best = jnp.min(t, axis=1)
+    arg = jnp.argmin(t, axis=1)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == arg[:, None]
+    )
+    picked = tuple(
+        jnp.sum(jnp.where(onehot, v, jnp.zeros_like(v)), axis=1) for v in values
+    )
+    return best, arg, picked
+
+
+# ---------------------------------------------------------------------------
+# Brute force
+# ---------------------------------------------------------------------------
+
+def intersect_tris_brute(
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    tri_verts: jnp.ndarray,
+    block: int = 128,
+):
+    """Closest-hit over all triangles, tiled in `block`-sized lanes.
+
+    Returns (t [N], tri_index [N], u [N], v [N], orientation [N]); misses
+    have t = +inf. Triangle tests per ray = padded triangle count.
+    """
+    n = origin.shape[0]
+    t_count = tri_verts.shape[0]
+    if t_count == 0:
+        z = jnp.zeros((n,), jnp.float32)
+        return jnp.full((n,), INF), jnp.zeros((n,), jnp.int32), z, z, z
+
+    pad = (-t_count) % block
+    if pad:
+        tri_verts = jnp.concatenate(
+            [tri_verts, jnp.zeros((pad, 3, 3), tri_verts.dtype)], axis=0
+        )  # degenerate pads have det 0 -> always miss
+    blocks = tri_verts.reshape(-1, block, 3, 3)
+
+    o = origin[:, None, :]
+    d = direction[:, None, :]
+
+    def body(carry, inp):
+        base, verts = inp
+        best_t, best_i, best_u, best_v, best_s = carry
+        t, u, v, s = triangle_intersect(
+            o, d, verts[None, :, 0], verts[None, :, 1], verts[None, :, 2]
+        )  # [N, B]
+        t = jnp.where(t > HIT_EPS, t, INF)
+        blk_t, arg, (bu, bv, bs) = _onehot_min(t, (u, v, s))
+        better = blk_t < best_t
+        idx = base + arg.astype(jnp.int32)
+        carry = (
+            jnp.where(better, blk_t, best_t),
+            jnp.where(better, idx, best_i),
+            jnp.where(better, bu, best_u),
+            jnp.where(better, bv, best_v),
+            jnp.where(better, bs, best_s),
+        )
+        return carry, None
+
+    bases = jnp.arange(blocks.shape[0], dtype=jnp.int32) * block
+    init = (
+        jnp.full((n,), INF),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    )
+    (best_t, best_i, best_u, best_v, best_s), _ = jax.lax.scan(
+        body, init, (bases, blocks)
+    )
+    return best_t, best_i, best_u, best_v, best_s
+
+
+def _intersect_spheres(scene: SceneData, origin, direction, far):
+    """Vectorized sphere pass (get_ray_scene_intersection_sphere,
+    compute:357-376): AABB pre-test against the far plane, then the
+    quadratic, keeping the closest t > eps."""
+    n = origin.shape[0]
+    s = scene.num_spheres
+    if s == 0:
+        return (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32),
+                jnp.ones((n,), jnp.float32))
+    o = origin[:, None, :]
+    d = direction[:, None, :]
+    inv_d = _safe_inv(direction)[:, None, :]
+    c = scene.sphere_center[None, :, :]
+    r = scene.sphere_radius[None, :]
+    aabb_t = ray_aabb(c - r[..., None], c + r[..., None], o, inv_d)  # [N, S]
+    t, orient = sphere_intersect(o, d, c, r)  # [N, S]
+    t = jnp.where((aabb_t < far[:, None]) & (t > HIT_EPS), t, INF)
+    best_t, arg, (best_orient,) = _onehot_min(t, (orient,))
+    return best_t, arg.astype(jnp.int32), best_orient
+
+
+def _sphere_normal_material(scene, pos, sp_i, sp_orient):
+    """Sphere shading normal + material, safe for sphere-less scenes."""
+    if scene.num_spheres == 0:
+        return jnp.zeros_like(pos), jnp.zeros_like(sp_i)
+    normal = normalize(
+        (pos - scene.sphere_center[sp_i]) * sp_orient[:, None], eps=1e-20
+    )
+    return normal, scene.sphere_material[sp_i]
+
+
+def _sphere_only_hit(scene, origin, direction, sp_t, sp_i, sp_orient):
+    pos = origin + direction * sp_t[..., None]
+    normal, material = _sphere_normal_material(scene, pos, sp_i, sp_orient)
+    return HitRecord(t=sp_t, pos=pos, normal=normal,
+                     orientation=sp_orient, material=material)
+
+
+def intersect_brute(
+    scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
+    far: jnp.ndarray, block: int = 128,
+):
+    """Full-scene brute-force closest hit -> (HitRecord, tri_tests, box_tests)."""
+    n = origin.shape[0]
+    sp_t, sp_i, sp_orient = _intersect_spheres(scene, origin, direction, far)
+    if scene.num_triangles == 0:
+        hit = _sphere_only_hit(scene, origin, direction, sp_t, sp_i, sp_orient)
+        zeros = jnp.zeros((n,), jnp.int32)
+        return hit, zeros, zeros
+
+    tr_t, tr_i, tr_u, tr_v, tr_s = intersect_tris_brute(
+        origin, direction, scene.tri_verts_world, block
+    )
+    # Mesh hit must beat the sphere hit by epsilon and lie inside the far
+    # plane (compute:452).
+    mesh_wins = (tr_t < sp_t - HIT_EPS) & (tr_t < far)
+
+    t = jnp.where(mesh_wins, tr_t, sp_t)
+    pos = origin + direction * t[..., None]
+
+    # Triangle shading normal (compute:462-467), world-space inputs
+    tri_n = scene.tri_normals_world[tr_i]  # [N, 3, 3] gather (winners only)
+    n0, n1, n2 = tri_n[:, 0], tri_n[:, 1], tri_n[:, 2]
+    tri_normal = n0 + (n1 - n0) * tr_u[:, None] + (n2 - n0) * tr_v[:, None]
+    tri_normal = normalize(
+        tri_normal * tr_s[:, None], eps=1e-20
+    )
+
+    sph_normal, sph_material = _sphere_normal_material(scene, pos, sp_i, sp_orient)
+
+    normal = jnp.where(mesh_wins[:, None], tri_normal, sph_normal)
+    orientation = jnp.where(mesh_wins, tr_s, sp_orient)
+    material = jnp.where(mesh_wins, scene.tri_material[tr_i], sph_material)
+
+    hit = HitRecord(t=t, pos=pos, normal=normal,
+                    orientation=orientation, material=material)
+    tri_tests = jnp.full((n,), scene.num_triangles, jnp.int32)
+    box_tests = jnp.zeros((n,), jnp.int32)
+    return hit, tri_tests, box_tests
+
+
+# ---------------------------------------------------------------------------
+# BVH traversal
+# ---------------------------------------------------------------------------
+
+def _stack_read(stack: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """stack [N, D] read at per-row idx [N] via one-hot (no gather)."""
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1) == idx[:, None]
+    )
+    return jnp.sum(jnp.where(sel, stack, 0), axis=1)
+
+
+def _stack_write(stack: jnp.ndarray, idx: jnp.ndarray, value: jnp.ndarray,
+                 mask: jnp.ndarray) -> jnp.ndarray:
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1) == idx[:, None]
+    ) & mask[:, None]
+    return jnp.where(sel, value[:, None], stack)
+
+
+def intersect_bvh(
+    scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
+    far: jnp.ndarray, max_leaf: int = 5,
+):
+    """Per-mesh stack-based BVH traversal over all rays in lockstep
+    (get_ray_scene_intersection_mesh, compute:378-472).
+
+    All rays traverse each mesh's tree together; each ray carries its own
+    32-deep node stack, popped/pushed under masks. The loop runs until every
+    ray's stack empties. Returns (HitRecord, tri_tests, box_tests).
+    """
+    n = origin.shape[0]
+    sp_t, sp_i, sp_orient = _intersect_spheres(scene, origin, direction, far)
+    if scene.num_triangles == 0 or scene.num_meshes == 0:
+        hit = _sphere_only_hit(scene, origin, direction, sp_t, sp_i, sp_orient)
+        zeros = jnp.zeros((n,), jnp.int32)
+        return hit, zeros, zeros
+
+    best = dict(
+        t=jnp.full((n,), INF),
+        tri=jnp.zeros((n,), jnp.int32),
+        u=jnp.zeros((n,), jnp.float32),
+        v=jnp.zeros((n,), jnp.float32),
+        s=jnp.zeros((n,), jnp.float32),
+        mesh=jnp.zeros((n,), jnp.int32),
+    )
+    tri_tests = jnp.zeros((n,), jnp.int32)
+    box_tests = jnp.zeros((n,), jnp.int32)
+
+    num_meshes = scene.num_meshes
+    # Seed the running closest-t with the sphere result (the reference
+    # traverses with closestHit.rayT already holding the sphere distance).
+    best["t"] = jnp.where(sp_t < INF, sp_t, best["t"])
+    sphere_seeded_t = best["t"]
+
+    def mesh_body(mi, carry):
+        best, tri_tests, box_tests = carry
+        w2l = scene.mesh_world_to_local[mi]
+        tri_off = scene.mesh_tri_offset[mi]
+        bvh_off = scene.mesh_bvh_offset[mi]
+
+        # Local-space ray, deliberately unnormalized so t stays world-scale
+        # (compute:390-395)
+        lo_o = transform_point(w2l[None], origin)
+        lo_d = transform_dir(w2l[None], direction)
+        inv_d = _safe_inv(lo_d)
+
+        stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
+        sp = jnp.ones((n,), jnp.int32)  # root (node 0, mesh-relative) pushed
+
+        def cond(state):
+            _, sp, *_ = state
+            return jnp.any(sp > 0)
+
+        def body(state):
+            stack, sp, best, tri_tests, box_tests = state
+            active = sp > 0
+            node = _stack_read(stack, jnp.maximum(sp - 1, 0))
+            sp = jnp.where(active, sp - 1, sp)
+            g = bvh_off + node
+            count = scene.bvh_count[g]
+            index_a = scene.bvh_index_a[g]
+            is_leaf = active & (count > 0)
+            is_inner = active & (count == 0)
+
+            # ---- leaf: test up to max_leaf triangles (compute:407-421)
+            new_best = dict(best)
+            for k in range(max_leaf):
+                tk = tri_off + index_a + k
+                do = is_leaf & (k < count)
+                tv = scene.tri_verts_local[jnp.where(do, tk, 0)]
+                t, u, v, s = triangle_intersect(
+                    lo_o, lo_d, tv[:, 0], tv[:, 1], tv[:, 2]
+                )
+                ok = do & (t > HIT_EPS) & (t < new_best["t"])
+                new_best = dict(
+                    t=jnp.where(ok, t, new_best["t"]),
+                    tri=jnp.where(ok, tk, new_best["tri"]),
+                    u=jnp.where(ok, u, new_best["u"]),
+                    v=jnp.where(ok, v, new_best["v"]),
+                    s=jnp.where(ok, s, new_best["s"]),
+                    mesh=jnp.where(ok, mi, new_best["mesh"]),
+                )
+            tri_tests = tri_tests + jnp.where(
+                is_leaf, jnp.minimum(count, max_leaf), 0
+            )
+
+            # ---- inner: ordered near-first descent (compute:422-444)
+            ca = bvh_off + index_a
+            cb = ca + 1
+            ca_s = jnp.where(is_inner, ca, 0)
+            cb_s = jnp.where(is_inner, cb, 0)
+            da = ray_aabb(scene.bvh_lo[ca_s], scene.bvh_hi[ca_s], lo_o, inv_d)
+            db = ray_aabb(scene.bvh_lo[cb_s], scene.bvh_hi[cb_s], lo_o, inv_d)
+            box_tests = box_tests + jnp.where(is_inner, 2, 0)
+
+            t_lim = new_best["t"]
+            a_first = da <= db  # push far child first so near pops first
+            far_node = jnp.where(a_first, index_a + 1, index_a)
+            near_node = jnp.where(a_first, index_a, index_a + 1)
+            far_d = jnp.maximum(da, db)
+            near_d = jnp.minimum(da, db)
+
+            push_far = is_inner & (far_d < t_lim) & (sp < STACK_DEPTH)
+            stack = _stack_write(stack, sp, far_node, push_far)
+            sp = sp + push_far.astype(jnp.int32)
+            push_near = is_inner & (near_d < t_lim) & (sp < STACK_DEPTH)
+            stack = _stack_write(stack, sp, near_node, push_near)
+            sp = sp + push_near.astype(jnp.int32)
+
+            return (stack, sp, new_best, tri_tests, box_tests)
+
+        _, _, best, tri_tests, box_tests = jax.lax.while_loop(
+            cond, body, (stack, sp, best, tri_tests, box_tests)
+        )
+        return (best, tri_tests, box_tests)
+
+    best, tri_tests, box_tests = jax.lax.fori_loop(
+        0, num_meshes, mesh_body, (best, tri_tests, box_tests)
+    )
+
+    # ---- resolve winner: a triangle must beat the sphere hit by epsilon
+    # and lie inside the far plane (compute:452)
+    mesh_wins = (best["t"] < sphere_seeded_t - HIT_EPS) & (best["t"] < far)
+    t = jnp.where(mesh_wins, best["t"], sp_t)
+    pos = origin + direction * t[..., None]
+
+    tri_n = scene.tri_normals_local[best["tri"]]
+    n0, n1, n2 = tri_n[:, 0], tri_n[:, 1], tri_n[:, 2]
+    nrm = n0 + (n1 - n0) * best["u"][:, None] + (n2 - n0) * best["v"][:, None]
+    nrm = nrm * best["s"][:, None]
+    w2l = scene.mesh_world_to_local[best["mesh"]]
+    tri_normal = normalize(transform_normal(w2l, nrm), eps=1e-20)
+
+    sph_normal, sph_material = _sphere_normal_material(scene, pos, sp_i, sp_orient)
+    normal = jnp.where(mesh_wins[:, None], tri_normal, sph_normal)
+    orientation = jnp.where(mesh_wins, best["s"], sp_orient)
+    material = jnp.where(
+        mesh_wins, scene.mesh_material[best["mesh"]], sph_material
+    )
+    hit = HitRecord(t=t, pos=pos, normal=normal,
+                    orientation=orientation, material=material)
+    return hit, tri_tests, box_tests
+
+
+def intersect_scene(
+    scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
+    far: jnp.ndarray, settings: RenderSettings,
+):
+    """Backend dispatch (static): AUTO uses brute force below the triangle
+    threshold, BVH above (get_ray_intersection, compute:474-485)."""
+    kind = settings.intersector
+    if kind == Intersector.AUTO:
+        kind = (
+            Intersector.BRUTE
+            if scene.num_triangles <= settings.brute_force_max_tris
+            else Intersector.BVH
+        )
+    if kind == Intersector.BRUTE:
+        return intersect_brute(scene, origin, direction, far,
+                               settings.triangle_block)
+    return intersect_bvh(scene, origin, direction, far)

@@ -1,0 +1,331 @@
+"""The path-tracing integrator: bounce loop, sky shading, Russian roulette,
+debug views, and the per-frame renderer.
+
+TPU re-implementation of the reference megakernel
+(`HalgoenCompute.compute:876-1063`): instead of one GPU thread per pixel
+with divergent control flow, rays live in flat SoA arrays and the bounce
+loop is a `lax.scan` with per-ray active masks — every iteration advances
+all rays in lockstep on the VPU, and terminated lanes are masked. The spp
+loop is an outer scan (constant memory in spp), pixels are chunked to bound
+live ray-state memory.
+
+Semantics preserved (trace_ray, compute:876-950):
+- per-ray-type bounce limits checked at loop top with `>` (compute:869-871)
+- emission accumulated before BRDF evaluation (compute:901-902)
+- Russian roulette with 1/p compensation after every hit (compute:923-936)
+- miss -> environment sample with the accumulated-roughness mip bias
+  (QUESTIONABLE_IMPORTANCE_SAMPLING, compute:940-945), including the
+  reference's float3->float truncation quirk in the roughness accumulator
+  (compute:911 adds `roughness * lightAttenuation` to a scalar: .x wins)
+- sampler dimensions advance by 5 per bounce (compute:921)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from halogen_tpu.config import DebugMode, RenderSettings, SamplerKind
+from halogen_tpu.core.medium import MediumStack
+from halogen_tpu.core.types import SceneData
+from halogen_tpu.integrator.camera import Camera, generate_rays
+from halogen_tpu.integrator.intersect import intersect_scene
+from halogen_tpu.integrator.shade import evaluate_material_hit, gather_materials
+from halogen_tpu.sampler import sobol as sob
+from halogen_tpu.scene.envmap import sample_env
+
+
+def _sampler_2d(settings: RenderSettings):
+    if settings.sampler == SamplerKind.PRNG:
+        return sob.prng_sample_2d
+    return sob.ld_sample_2d
+
+
+def _sampler_1d(settings: RenderSettings):
+    if settings.sampler == SamplerKind.PRNG:
+        return sob.prng_sample_1d
+    return sob.ld_sample_1d
+
+
+def sample_sky(
+    scene: SceneData, direction: jnp.ndarray, level: jnp.ndarray,
+    settings: RenderSettings,
+) -> jnp.ndarray:
+    """Environment lookup (sample_sky, compute:196-204): black when no
+    envmap is bound."""
+    if not settings.use_envmap or not scene.env_mips:
+        return jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
+    return sample_env(scene.env_mips, direction, level)
+
+
+class TraceOut(NamedTuple):
+    color: jnp.ndarray  # [N, 3]
+    tri_tests: jnp.ndarray  # [N] int32 (first segment, for debug heatmaps)
+    box_tests: jnp.ndarray  # [N] int32
+    first_hit_t: jnp.ndarray  # [N]
+    first_hit_albedo: jnp.ndarray  # [N, 3]
+    first_hit_normal: jnp.ndarray  # [N, 3]
+
+
+def trace_rays(
+    scene: SceneData,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    far: jnp.ndarray,
+    sample_idx: jnp.ndarray,
+    seed: jnp.ndarray,
+    settings: RenderSettings,
+) -> TraceOut:
+    """Trace a batch of primary rays to completion. Returns radiance plus
+    first-hit channels for the debug views."""
+    n = origin.shape[0]
+    s2 = _sampler_2d(settings)
+    s1 = _sampler_1d(settings)
+
+    class Carry(NamedTuple):
+        origin: jnp.ndarray
+        direction: jnp.ndarray
+        attenuation: jnp.ndarray
+        color: jnp.ndarray
+        acc_roughness: jnp.ndarray
+        counts: jnp.ndarray  # [N, 3] bounce-type counts
+        stack: MediumStack
+        active: jnp.ndarray
+        tri_tests: jnp.ndarray
+        box_tests: jnp.ndarray
+        first_t: jnp.ndarray
+        first_albedo: jnp.ndarray
+        first_normal: jnp.ndarray
+
+    init = Carry(
+        origin=origin,
+        direction=direction,
+        attenuation=jnp.ones((n, 3), jnp.float32),
+        color=jnp.zeros((n, 3), jnp.float32),
+        acc_roughness=jnp.zeros((n,), jnp.float32),
+        counts=jnp.zeros((n, 3), jnp.int32),
+        stack=MediumStack.create(n),
+        active=jnp.ones((n,), bool),
+        tri_tests=jnp.zeros((n,), jnp.int32),
+        box_tests=jnp.zeros((n,), jnp.int32),
+        first_t=jnp.full((n,), np.inf, jnp.float32),
+        first_albedo=jnp.zeros((n, 3), jnp.float32),
+        first_normal=jnp.zeros((n, 3), jnp.float32),
+    )
+
+    def bounce(carry: Carry, k):
+        # --- per-type termination check at loop top (compute:891-893)
+        over = (
+            (carry.counts[:, 0] > settings.max_diffuse_bounces)
+            | (carry.counts[:, 1] > settings.max_glossy_bounces)
+            | (carry.counts[:, 2] > settings.max_transmission_bounces)
+        )
+        active = carry.active & (~over)
+
+        hit, tt, bt = intersect_scene(
+            scene, carry.origin, carry.direction, far, settings
+        )
+        is_hit = hit.t < far  # compute:898
+        mat = gather_materials(scene.materials, hit.material)
+
+        first = k == 0
+        first_t = jnp.where(first, hit.t, carry.first_t)
+        first_albedo = jnp.where(first, mat.albedo, carry.first_albedo)
+        first_normal = jnp.where(first, hit.normal, carry.first_normal)
+
+        # --- emission (compute:901-902)
+        emission = mat.emissive_rgb * mat.emissive_intensity[:, None]
+        color = carry.color + jnp.where(
+            (active & is_hit)[:, None], emission * carry.attenuation, 0.0
+        )
+
+        # --- sampler dims for this bounce (base + 5*k, compute:921)
+        dim_refl = (
+            jnp.uint32(sob.DIM_ROUGH_REFLECTION)
+            + jnp.uint32(sob.BOUNCE_DIM_STRIDE) * k.astype(jnp.uint32)
+        )
+        dim_prop = (
+            jnp.uint32(sob.DIM_MATERIAL_BRDF)
+            + jnp.uint32(sob.BOUNCE_DIM_STRIDE) * k.astype(jnp.uint32)
+        )
+        dim_rr = (
+            jnp.uint32(sob.DIM_RUSSIAN_ROULETTE)
+            + jnp.uint32(sob.BOUNCE_DIM_STRIDE) * k.astype(jnp.uint32)
+        )
+        refl_rand = s2(sample_idx, dim_refl, seed)
+        prop_rand = s2(sample_idx, dim_prop, seed)
+        rr_rand = s1(sample_idx, dim_rr, seed)
+
+        shade_mask = active & is_hit
+        shaded = evaluate_material_hit(
+            carry.direction, hit, mat, carry.stack, shade_mask,
+            refl_rand, prop_rand,
+        )
+
+        sm = shade_mask[:, None]
+        new_origin = jnp.where(sm, shaded.origin, carry.origin)
+        new_dir = jnp.where(sm, shaded.direction, carry.direction)
+        atten = jnp.where(sm, carry.attenuation * shaded.attenuation,
+                          carry.attenuation)
+
+        # Bounce-type counts (compute:796,807)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, 3), 1)
+            == shaded.bounce_type[:, None]
+        )
+        counts = carry.counts + jnp.where(
+            sm & onehot, 1, 0
+        ).astype(jnp.int32)
+
+        # Roughness accumulator quirk: scalar += roughness * attenuation.x
+        # (compute:911 with HLSL float3->float truncation)
+        acc_roughness = carry.acc_roughness + jnp.where(
+            shade_mask, mat.roughness * atten[:, 0], 0.0
+        )
+
+        # --- Russian roulette (compute:923-936)
+        if settings.russian_roulette:
+            contribution = jnp.max(atten, axis=1)
+            killed = shade_mask & (rr_rand > contribution)
+            atten = jnp.where(
+                shade_mask[:, None],
+                atten / jnp.maximum(contribution, 1e-20)[:, None],
+                atten,
+            )
+        else:
+            killed = jnp.zeros_like(shade_mask)
+
+        # --- miss: sky emission, ray dies (compute:938-946)
+        miss = active & (~is_hit)
+        if settings.mip_importance_bias:
+            level = jnp.round(
+                settings.env_mip_level
+                + carry.acc_roughness * settings.mip_importance_range
+            ).astype(jnp.int32)
+        else:
+            level = jnp.full((n,), settings.env_mip_level, jnp.int32)
+        sky = sample_sky(scene, carry.direction, level, settings)
+        color = color + jnp.where(miss[:, None], sky * carry.attenuation, 0.0)
+
+        new_active = active & is_hit & (~killed)
+
+        out = Carry(
+            origin=new_origin,
+            direction=new_dir,
+            attenuation=atten,
+            color=color,
+            acc_roughness=acc_roughness,
+            counts=counts,
+            stack=shaded.stack,
+            active=new_active,
+            tri_tests=carry.tri_tests + jnp.where(active, tt, 0),
+            box_tests=carry.box_tests + jnp.where(active, bt, 0),
+            first_t=first_t,
+            first_albedo=first_albedo,
+            first_normal=first_normal,
+        )
+        return out, None
+
+    ks = jnp.arange(settings.max_bounces + 1, dtype=jnp.int32)
+    final, _ = jax.lax.scan(jax.checkpoint(bounce), init, ks)
+
+    return TraceOut(
+        color=final.color,
+        tri_tests=final.tri_tests,
+        box_tests=final.box_tests,
+        first_hit_t=final.first_t,
+        first_hit_albedo=final.first_albedo,
+        first_hit_normal=final.first_normal,
+    )
+
+
+def _debug_color(out: TraceOut, scene, direction, far, settings) -> jnp.ndarray:
+    """Debug views (trace_ray_debug*, compute:819-863,952-982)."""
+    mode = settings.debug_mode
+    hit_mask = (out.first_hit_t < far)[:, None]
+    level = jnp.full(direction.shape[:-1], settings.env_mip_level, jnp.int32)
+    sky = sample_sky(scene, direction, level, settings)
+    if mode == DebugMode.ALBEDO:
+        return jnp.where(hit_mask, out.first_hit_albedo, sky)
+    if mode == DebugMode.NORMAL:
+        return jnp.where(hit_mask, (out.first_hit_normal + 1.0) * 0.5, sky)
+    tri = out.tri_tests.astype(jnp.float32)
+    box = out.box_tests.astype(jnp.float32)
+    tri_over = out.tri_tests > settings.triangle_debug_display_range
+    box_over = out.box_tests > settings.box_debug_display_range
+    tri_n = tri / settings.triangle_debug_display_range
+    box_n = box / settings.box_debug_display_range
+    zeros = jnp.zeros_like(tri_n)
+    if mode == DebugMode.RAY_TRIANGLE_TESTS:
+        col = jnp.stack([tri_n, zeros, zeros], axis=-1)
+        return jnp.where(tri_over[:, None], 1.0, col)
+    if mode == DebugMode.RAY_BOX_TESTS:
+        col = jnp.stack([box_n, zeros, zeros], axis=-1)
+        return jnp.where(box_over[:, None], 1.0, col)
+    # COMBINED
+    col = jnp.stack([tri_n, zeros, box_n], axis=-1)
+    return jnp.where((tri_over | box_over)[:, None], 1.0, col)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_frame(
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    frame: jnp.ndarray | int = 0,
+) -> jnp.ndarray:
+    """Render one frame: [H, W, 3] mean radiance over samples_per_pixel.
+
+    The kernel-equivalent of HalogenCompute (compute:1015-1063): pixel grid
+    -> chunked flat rays -> spp scan -> bounce scan. `frame` indexes the
+    progressive-accumulation sample stream (bound like FrameCount,
+    HalogenRenderPass.cs:378).
+    """
+    w, h = settings.width, settings.height
+    n_pixels = w * h
+    frame = jnp.asarray(frame, jnp.uint32)
+
+    chunk = min(settings.ray_chunk_size, n_pixels)
+    n_chunks = -(-n_pixels // chunk)
+    padded = n_chunks * chunk
+
+    pix = jnp.arange(padded, dtype=jnp.int32)
+    px = pix % w
+    py = pix // w
+    seed = sob.pixel_seed(pix.astype(jnp.uint32))
+
+    def render_chunk(c, _):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk)
+        cpx, cpy, cseed = sl(px), sl(py), sl(seed)
+        far_c = jnp.broadcast_to(camera.far, (chunk,))
+
+        def spp_body(acc, s):
+            sidx = sob.sample_index(frame, s, settings.samples_per_pixel)
+            sidx = jnp.broadcast_to(sidx, (chunk,))
+            o, d = generate_rays(
+                camera, cpx, cpy, w, h, settings.filter_radius,
+                sidx, cseed, _sampler_2d(settings),
+            )
+            out = trace_rays(scene, o, d, far_c, sidx, cseed, settings)
+            if settings.debug_mode != DebugMode.NONE:
+                col = _debug_color(out, scene, d, far_c, settings)
+            else:
+                col = out.color
+            return acc + col, None
+
+        acc, _ = jax.lax.scan(
+            spp_body,
+            jnp.zeros((chunk, 3), jnp.float32),
+            jnp.arange(settings.samples_per_pixel, dtype=jnp.uint32),
+        )
+        return c + 1, acc / settings.samples_per_pixel
+
+    _, chunks = jax.lax.scan(
+        render_chunk, jnp.int32(0), None, length=n_chunks
+    )
+    img = chunks.reshape(-1, 3)[:n_pixels]
+    return img.reshape(h, w, 3)

@@ -1,0 +1,157 @@
+"""Environment map: equirectangular radiance map with a mip pyramid.
+
+TPU redesign of the reference's environment cubemap + trilinear mip sampling
+(`HalgoenCompute.compute:196-204`, imported 2048px cubemap per
+`resting_place_4k.exr.meta`): a single equirectangular [H, W, 3] texture
+avoids cubemap face-selection branching and keeps lookups as one gather.
+Mip levels are 2x box-downsampled; `sample_env` does nearest-texel lookup at
+an integer mip (the reference samples a mip level chosen by
+`DefaultHDRIMipLevel` plus the accumulated-roughness bias,
+`HalgoenCompute.compute:940-945`).
+
+Also provides luminance CDF tables for envmap importance sampling — a
+capability the reference lists as TODO (`HalgoenCompute.compute:19` "Multiple
+Importance Sampling") but BASELINE.json asks for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from halogen_tpu.core.math import normalize
+
+
+@dataclasses.dataclass
+class Envmap:
+    """Host-side envmap: list of [H, W, 3] float32 mips, finest first."""
+
+    mips: List[np.ndarray]
+
+    @staticmethod
+    def from_equirect(image: np.ndarray, num_mips: int = 6) -> "Envmap":
+        img = np.asarray(image, np.float32)
+        assert img.ndim == 3 and img.shape[2] == 3
+        mips = [img]
+        for _ in range(num_mips - 1):
+            cur = mips[-1]
+            h, w = cur.shape[:2]
+            if h < 2 or w < 2:
+                break
+            h2, w2 = h // 2 * 2, w // 2 * 2
+            cur = cur[:h2, :w2]
+            mips.append(
+                0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
+                        + cur[0::2, 1::2] + cur[1::2, 1::2])
+            )
+        return Envmap(mips)
+
+    @staticmethod
+    def constant(color, size: int = 8) -> "Envmap":
+        img = np.broadcast_to(
+            np.asarray(color, np.float32), (size, 2 * size, 3)
+        ).copy()
+        return Envmap.from_equirect(img, num_mips=2)
+
+    @staticmethod
+    def gradient_sky(
+        horizon=(0.1, 0.1, 0.1), zenith=(0.5, 0.7, 1.0), scale=0.7,
+        height: int = 64,
+    ) -> "Envmap":
+        """The commented-out procedural sky in the reference
+        (HalgoenCompute.compute:198-199): lerp(horizon, zenith, 0.5*(y+1)) * scale."""
+        h, w = height, height * 2
+        theta = (np.arange(h) + 0.5) / h * np.pi  # [0, pi] from +y pole
+        y = np.cos(theta)
+        v = 0.5 * (y + 1.0)
+        row = (np.outer(1 - v, np.asarray(horizon))
+               + np.outer(v, np.asarray(zenith))) * scale
+        img = np.repeat(row[:, None, :], w, axis=1).astype(np.float32)
+        return Envmap.from_equirect(img)
+
+
+def dir_to_equirect_uv(d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Direction [..., 3] (y-up) -> equirect (u, v) in [0,1).
+
+    u wraps azimuth (atan2(x, -z)), v runs 0 at +y (zenith) to 1 at -y.
+    """
+    d = normalize(d)
+    u = (jnp.arctan2(d[..., 0], -d[..., 2]) / (2.0 * np.pi)) + 0.5
+    v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / np.pi
+    return u, v
+
+
+def sample_env_mip(mip: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-texel lookup of one [H, W, 3] mip for [..., 3] directions."""
+    h, w = mip.shape[0], mip.shape[1]
+    u, v = dir_to_equirect_uv(direction)
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    flat = mip.reshape(-1, 3)
+    return flat[y * w + x]
+
+
+def sample_env(
+    env_mips: Tuple[jnp.ndarray, ...],
+    direction: jnp.ndarray,
+    level: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sample the pyramid at per-ray integer mip `level` (clamped).
+
+    Computes every resident mip's lookup and selects — levels are few and
+    static, so this stays branch-free (TPU-friendly); the reference's
+    sampler hardware did trilinear filtering instead.
+    """
+    if not env_mips:
+        return jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
+    level = jnp.clip(level, 0, len(env_mips) - 1)
+    out = jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
+    for i, mip in enumerate(env_mips):
+        out = jnp.where((level == i)[..., None],
+                        sample_env_mip(mip, direction), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Importance sampling tables (capability beyond the reference).
+# ---------------------------------------------------------------------------
+
+def build_env_cdf(env: np.ndarray):
+    """Marginal/conditional CDFs over solid-angle-weighted luminance of an
+    equirect map [H, W, 3]. Returns (marginal_cdf [H], conditional_cdf [H, W],
+    pdf [H, W]) as numpy arrays; pdf is w.r.t. solid angle."""
+    h, w = env.shape[:2]
+    lum = env @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+    sin_theta = np.sin((np.arange(h) + 0.5) / h * np.pi).astype(np.float32)
+    weight = lum * sin_theta[:, None] + 1e-12
+    row_sum = weight.sum(axis=1)
+    marginal_cdf = np.cumsum(row_sum) / row_sum.sum()
+    conditional_cdf = np.cumsum(weight, axis=1) / row_sum[:, None]
+    # pdf(direction) = weight / (total * texel_solid_angle)
+    texel_sa = (2 * np.pi / w) * (np.pi / h) * sin_theta[:, None]
+    pdf = weight / (weight.sum() * texel_sa)
+    return (marginal_cdf.astype(np.float32),
+            conditional_cdf.astype(np.float32), pdf.astype(np.float32))
+
+
+def sample_env_direction(marginal_cdf, conditional_cdf, u1, u2):
+    """Inverse-CDF sample of a direction from the luminance distribution.
+    Returns ([..., 3] directions, [...,] row, [...,] col)."""
+    h = marginal_cdf.shape[0]
+    w = conditional_cdf.shape[1]
+    row = jnp.searchsorted(marginal_cdf, u1)
+    row = jnp.clip(row, 0, h - 1)
+    cond = conditional_cdf[row]
+    col = jnp.clip(jnp.searchsorted_batched(cond, u2), 0, w - 1) if hasattr(
+        jnp, "searchsorted_batched") else jnp.clip(
+        jnp.sum((cond < u2[..., None]).astype(jnp.int32), axis=-1), 0, w - 1)
+    theta = (row.astype(jnp.float32) + 0.5) / h * np.pi
+    phi = ((col.astype(jnp.float32) + 0.5) / w - 0.5) * 2.0 * np.pi
+    sin_t = jnp.sin(theta)
+    d = jnp.stack(
+        [sin_t * jnp.sin(phi), jnp.cos(theta), -sin_t * jnp.cos(phi)], axis=-1
+    )
+    return d, row, col
