@@ -1,0 +1,135 @@
+"""Differentiable rendering (component #16 — absent in the reference).
+
+The forward renderer is written so that reverse-mode AD yields the
+detached-sampling path-gradient estimator: path geometry and discrete
+sampling decisions (BRDF lobe choice, Russian-roulette survival, the
+deterministic Sobol stream) are treated as fixed, and gradients flow
+through the throughput product — emission, albedo/specular attenuation,
+Beer-Lambert absorption, and environment radiance. The bounce scan is
+`jax.checkpoint`-ed, so the backward pass re-traces each path segment
+instead of storing it — path-replay backpropagation, with memory O(ray
+batch) rather than O(ray batch x bounces).
+
+Gradients are exact (match finite differences) for parameters that enter
+the estimate smoothly — emission, albedo, specular, absorption, envmap
+texels — given a fixed sample set; parameters that move discontinuity
+boundaries (metallic/opacity thresholds, IOR through refraction
+directions) get the standard detached-estimator bias.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from halogen_tpu.config import RenderSettings
+from halogen_tpu.core.types import MaterialTable, SceneData
+from halogen_tpu.integrator.camera import Camera
+from halogen_tpu.integrator.trace import render_frame
+
+
+def render_with_materials(
+    materials: MaterialTable,
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    frame=0,
+) -> jnp.ndarray:
+    """Forward render as a function of the differentiable material table."""
+    scene = dataclasses.replace(scene, materials=materials)
+    return render_frame(scene, camera, settings, frame)
+
+
+def render_with_params(
+    params: dict,
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    frame=0,
+) -> jnp.ndarray:
+    """Forward render over a param dict {"materials": MaterialTable,
+    "env_mips": tuple} — the full differentiable surface."""
+    scene = dataclasses.replace(
+        scene,
+        materials=params.get("materials", scene.materials),
+        env_mips=params.get("env_mips", scene.env_mips),
+    )
+    return render_frame(scene, camera, settings, frame)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_loss(
+    params: dict,
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    target: jnp.ndarray,
+    frame=0,
+) -> jnp.ndarray:
+    """MSE image loss against a target render/photo."""
+    img = render_with_params(params, scene, camera, settings, frame)
+    return jnp.mean((img - target) ** 2)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_loss_grad(
+    params: dict,
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    target: jnp.ndarray,
+    frame=0,
+):
+    """(loss, grads) via path-replay backprop."""
+    return jax.value_and_grad(
+        lambda p: render_loss(p, scene, camera, settings, target, frame)
+    )(params)
+
+
+def make_optimizer(lr: float = 5e-2):
+    import optax
+
+    return optax.adam(lr)
+
+
+def fit_materials(
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    target: jnp.ndarray,
+    steps: int = 100,
+    lr: float = 5e-2,
+    optimize_env: bool = False,
+    callback=None,
+):
+    """Inverse-rendering driver: fit material (and optionally envmap)
+    parameters to a target image. Returns (params, losses)."""
+    import optax
+
+    params = {"materials": scene.materials}
+    if optimize_env:
+        params["env_mips"] = scene.env_mips
+    opt = make_optimizer(lr)
+    opt_state = opt.init(params)
+
+    @partial(jax.jit, static_argnames=())
+    def step(params, opt_state, frame):
+        loss, grads = jax.value_and_grad(
+            lambda p: render_loss(p, scene, camera, settings, target, frame)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        # Vary the sample stream per step: stochastic gradient over frames
+        params, opt_state, loss = step(params, opt_state, jnp.uint32(i))
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, params, float(loss))
+    return params, losses

@@ -64,9 +64,11 @@ def look_at_matrix(position, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
     fwd = np.asarray(target, np.float64) - position
     fwd = fwd / np.linalg.norm(fwd)
     upv = np.asarray(up, np.float64)
-    right = np.cross(upv, fwd)
+    # Camera space: +x right (on screen), +y up, +z forward. Facing fwd
+    # with world-up upv, screen-right is fwd x up.
+    right = np.cross(fwd, upv)
     right = right / np.linalg.norm(right)
-    true_up = np.cross(fwd, right)
+    true_up = np.cross(right, fwd)
     m = np.eye(4)
     m[:3, 0] = right
     m[:3, 1] = true_up

@@ -154,6 +154,13 @@ def _intersect_spheres(scene: SceneData, origin, direction, far):
     return best_t, arg.astype(jnp.int32), best_orient
 
 
+def _hit_pos(origin, direction, t):
+    """origin + direction * t with miss lanes (t = inf) pinned to the
+    origin — keeps inf/NaN out of downstream buffers and gradients."""
+    t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+    return origin + direction * t_safe[..., None]
+
+
 def _sphere_normal_material(scene, pos, sp_i, sp_orient):
     """Sphere shading normal + material, safe for sphere-less scenes."""
     if scene.num_spheres == 0:
@@ -165,7 +172,7 @@ def _sphere_normal_material(scene, pos, sp_i, sp_orient):
 
 
 def _sphere_only_hit(scene, origin, direction, sp_t, sp_i, sp_orient):
-    pos = origin + direction * sp_t[..., None]
+    pos = _hit_pos(origin, direction, sp_t)
     normal, material = _sphere_normal_material(scene, pos, sp_i, sp_orient)
     return HitRecord(t=sp_t, pos=pos, normal=normal,
                      orientation=sp_orient, material=material)
@@ -191,7 +198,7 @@ def intersect_brute(
     mesh_wins = (tr_t < sp_t - HIT_EPS) & (tr_t < far)
 
     t = jnp.where(mesh_wins, tr_t, sp_t)
-    pos = origin + direction * t[..., None]
+    pos = _hit_pos(origin, direction, t)
 
     # Triangle shading normal (compute:462-467), world-space inputs
     tri_n = scene.tri_normals_world[tr_i]  # [N, 3, 3] gather (winners only)
@@ -359,7 +366,7 @@ def intersect_bvh(
     # and lie inside the far plane (compute:452)
     mesh_wins = (best["t"] < sphere_seeded_t - HIT_EPS) & (best["t"] < far)
     t = jnp.where(mesh_wins, best["t"], sp_t)
-    pos = origin + direction * t[..., None]
+    pos = _hit_pos(origin, direction, t)
 
     tri_n = scene.tri_normals_local[best["tri"]]
     n0, n1, n2 = tri_n[:, 0], tri_n[:, 1], tri_n[:, 2]

@@ -226,9 +226,12 @@ def evaluate_material_hit(
     bandaid = is_true & entering & (bounce_type != 2)
     stack2 = stack1.pop_id(mat.material_id, bandaid)
 
-    # Beer-Lambert absorption through the current medium (compute:810-813)
+    # Beer-Lambert absorption through the current medium (compute:810-813).
+    # Miss lanes carry t = inf; pin them to 0 so 0*inf NaNs can't leak into
+    # forward values or cotangents (the where() alone does not stop that).
     absorbing = cur.material_id != -1
-    absorb = jnp.exp(-cur.absorption * hit.t[:, None])
+    t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
+    absorb = jnp.exp(-cur.absorption * t_safe[:, None])
     attenuation = jnp.where(
         (active & absorbing)[:, None], attenuation * absorb, attenuation
     )

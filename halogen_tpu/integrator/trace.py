@@ -228,6 +228,15 @@ def trace_rays(
             first_albedo=first_albedo,
             first_normal=first_normal,
         )
+        # Detached-sampling gradient estimator: path geometry (origins and
+        # scattered directions) is treated as fixed in the backward pass, so
+        # parameter gradients flow only through throughput weights, emission
+        # and sky radiance — the standard path-replay decomposition, and it
+        # keeps inf/NaN from miss lanes out of the cotangent graph.
+        out = out._replace(
+            origin=jax.lax.stop_gradient(out.origin),
+            direction=jax.lax.stop_gradient(out.direction),
+        )
         return out, None
 
     ks = jnp.arange(settings.max_bounces + 1, dtype=jnp.int32)
@@ -271,6 +280,56 @@ def _debug_color(out: TraceOut, scene, direction, far, settings) -> jnp.ndarray:
     return jnp.where((tri_over | box_over)[:, None], 1.0, col)
 
 
+def render_pixels(
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    frame: jnp.ndarray,
+    pix: jnp.ndarray,
+    spp_offset: int | jnp.ndarray = 0,
+    spp_count: int | None = None,
+) -> jnp.ndarray:
+    """Render flat pixel indices `pix` [n] -> [n, 3] radiance, averaged
+    over spp lanes [spp_offset, spp_offset + spp_count).
+
+    The sharding-friendly inner renderer: pixel subsets shard the `pix`
+    axis; spp subsets shard the sample-index stream (valid because the
+    sampler indexes samples by frame*spp + lane — the SURVEY.md §3.4
+    redesign). The spp loop is a scan, so memory is one ray-state batch.
+    """
+    w, h = settings.width, settings.height
+    n = pix.shape[0]
+    frame = jnp.asarray(frame, jnp.uint32)
+    spp = settings.samples_per_pixel if spp_count is None else spp_count
+
+    px = pix % w
+    py = pix // w
+    seed = sob.pixel_seed(pix.astype(jnp.uint32))
+    far = jnp.broadcast_to(camera.far, (n,))
+
+    def spp_body(acc, s):
+        sidx = sob.sample_index(frame, jnp.uint32(spp_offset) + s,
+                                settings.samples_per_pixel)
+        sidx = jnp.broadcast_to(sidx, (n,))
+        o, d = generate_rays(
+            camera, px, py, w, h, settings.filter_radius,
+            sidx, seed, _sampler_2d(settings),
+        )
+        out = trace_rays(scene, o, d, far, sidx, seed, settings)
+        if settings.debug_mode != DebugMode.NONE:
+            col = _debug_color(out, scene, d, far, settings)
+        else:
+            col = out.color
+        return acc + col, None
+
+    acc, _ = jax.lax.scan(
+        spp_body,
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.arange(spp, dtype=jnp.uint32),
+    )
+    return acc / spp
+
+
 @partial(jax.jit, static_argnames=("settings",))
 def render_frame(
     scene: SceneData,
@@ -283,7 +342,8 @@ def render_frame(
     The kernel-equivalent of HalogenCompute (compute:1015-1063): pixel grid
     -> chunked flat rays -> spp scan -> bounce scan. `frame` indexes the
     progressive-accumulation sample stream (bound like FrameCount,
-    HalogenRenderPass.cs:378).
+    HalogenRenderPass.cs:378). Pixels are processed in ray_chunk_size
+    chunks to bound live ray-state memory.
     """
     w, h = settings.width, settings.height
     n_pixels = w * h
@@ -292,37 +352,11 @@ def render_frame(
     chunk = min(settings.ray_chunk_size, n_pixels)
     n_chunks = -(-n_pixels // chunk)
     padded = n_chunks * chunk
-
     pix = jnp.arange(padded, dtype=jnp.int32)
-    px = pix % w
-    py = pix // w
-    seed = sob.pixel_seed(pix.astype(jnp.uint32))
 
     def render_chunk(c, _):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk)
-        cpx, cpy, cseed = sl(px), sl(py), sl(seed)
-        far_c = jnp.broadcast_to(camera.far, (chunk,))
-
-        def spp_body(acc, s):
-            sidx = sob.sample_index(frame, s, settings.samples_per_pixel)
-            sidx = jnp.broadcast_to(sidx, (chunk,))
-            o, d = generate_rays(
-                camera, cpx, cpy, w, h, settings.filter_radius,
-                sidx, cseed, _sampler_2d(settings),
-            )
-            out = trace_rays(scene, o, d, far_c, sidx, cseed, settings)
-            if settings.debug_mode != DebugMode.NONE:
-                col = _debug_color(out, scene, d, far_c, settings)
-            else:
-                col = out.color
-            return acc + col, None
-
-        acc, _ = jax.lax.scan(
-            spp_body,
-            jnp.zeros((chunk, 3), jnp.float32),
-            jnp.arange(settings.samples_per_pixel, dtype=jnp.uint32),
-        )
-        return c + 1, acc / settings.samples_per_pixel
+        cpix = jax.lax.dynamic_slice_in_dim(pix, c * chunk, chunk)
+        return c + 1, render_pixels(scene, camera, settings, frame, cpix)
 
     _, chunks = jax.lax.scan(
         render_chunk, jnp.int32(0), None, length=n_chunks

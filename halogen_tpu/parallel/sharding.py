@@ -1,0 +1,201 @@
+"""Multi-device / multi-host execution (SURVEY.md §5.8, component #15).
+
+The reference is strictly single-GPU; its only scaling axis is
+frame-sequential progressive accumulation (`HalogenRenderPass.cs:307-353`).
+This module is the TPU-native inter-device tier built on XLA collectives:
+
+- a 2D device mesh over ("pixels", "spp") — the renderer's two natural
+  data axes (the analog of dp x sp for an LLM stack);
+- **pixel sharding**: each device renders a contiguous slab of the flat
+  pixel array; scene buffers (triangles, BVH, materials, envmap) are
+  replicated — Cornell-class scenes are small and the design stays
+  gather-free;
+- **spp sharding**: devices render disjoint sample-index lanes of the same
+  pixels and `psum`-average — valid because the sampler indexes samples as
+  frame*spp + lane (the §3.4 redesign), so shardings never change the
+  image;
+- **gradient all-reduce**: the inverse-rendering train step psums material
+  /envmap gradients across the mesh inside shard_map, overlapping XLA's
+  collective schedule with backward compute;
+- multi-host: `init_distributed` wraps `jax.distributed.initialize`; ICI
+  carries intra-slice collectives, DCN inter-host — all expressed through
+  the same psum.
+
+Determinism: per-pixel seeds hash the flat pixel id and sample indices are
+global, so the image is bitwise placement-invariant across mesh shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from halogen_tpu.config import RenderSettings
+from halogen_tpu.core.types import SceneData
+from halogen_tpu.integrator.camera import Camera
+from halogen_tpu.integrator.trace import render_pixels
+
+
+def init_distributed(**kwargs):
+    """Multi-host process-group init (idempotent). On a single host this is
+    a no-op; on a pod slice call once per process before building meshes."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def make_render_mesh(
+    n_pixel_shards: Optional[int] = None,
+    n_spp_shards: int = 1,
+    devices=None,
+) -> Mesh:
+    """Device mesh with axes ("px", "spp"). Default: all devices on the
+    pixel axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_pixel_shards is None:
+        n_pixel_shards = n // n_spp_shards
+    assert n_pixel_shards * n_spp_shards == n, (
+        f"mesh {n_pixel_shards}x{n_spp_shards} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(n_pixel_shards, n_spp_shards)
+    return Mesh(arr, ("px", "spp"))
+
+
+def _padded_pixels(settings: RenderSettings, n_px_shards: int) -> np.ndarray:
+    n_pixels = settings.num_pixels
+    per = -(-n_pixels // n_px_shards)
+    padded = per * n_px_shards
+    pix = np.arange(padded, dtype=np.int32)
+    pix[n_pixels:] = 0  # pad lanes render pixel 0; dropped on reshape
+    return pix
+
+
+@partial(jax.jit, static_argnames=("settings", "mesh"))
+def render_frame_sharded(
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    frame: jnp.ndarray | int,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Pixel+spp-sharded frame render -> [H, W, 3], identical (up to
+    reduction order) to `render_frame`."""
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    spp = settings.samples_per_pixel
+    assert spp % n_spp == 0, f"spp {spp} not divisible by spp shards {n_spp}"
+    spp_local = spp // n_spp
+
+    pix = jnp.asarray(_padded_pixels(settings, n_px))
+    frame = jnp.asarray(frame, jnp.uint32)
+
+    scene_spec = jax.tree.map(lambda _: P(), scene)
+    cam_spec = jax.tree.map(lambda _: P(), camera)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(scene_spec, cam_spec, P(), P("px")),
+        out_specs=P("px"),
+        check_rep=False,
+    )
+    def _shard(scene, camera, frame, pix_local):
+        lane = jax.lax.axis_index("spp").astype(jnp.uint32)
+        col = render_pixels(
+            scene, camera, settings, frame, pix_local,
+            spp_offset=lane * jnp.uint32(spp_local), spp_count=spp_local,
+        )
+        # average the spp shards (all-reduce over the spp axis)
+        return jax.lax.pmean(col, "spp")
+
+    img = _shard(scene, camera, frame, pix)
+    img = img[: settings.num_pixels]
+    return img.reshape(settings.height, settings.width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Inverse rendering: data-parallel gradient step with psum'd grads
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("settings", "mesh"))
+def train_step_sharded(
+    materials,  # MaterialTable (differentiable params)
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    target: jnp.ndarray,  # [H, W, 3]
+    frame: jnp.ndarray | int,
+    mesh: Mesh,
+    lr: float = 1e-2,
+):
+    """One SGD step of inverse rendering, sharded over (pixels, spp).
+
+    Each device renders its pixel/spp shard, computes the local MSE
+    contribution against its slice of the target, backprops, and the
+    material gradients are psum'd across the whole mesh — the renderer's
+    analog of data-parallel gradient all-reduce. Returns (new_materials,
+    loss).
+    """
+    n_px = mesh.shape["px"]
+    n_spp = mesh.shape["spp"]
+    spp = settings.samples_per_pixel
+    assert spp % n_spp == 0
+    spp_local = spp // n_spp
+
+    pix = jnp.asarray(_padded_pixels(settings, n_px))
+    tgt = target.reshape(-1, 3)
+    pad = pix.shape[0] - tgt.shape[0]
+    if pad:
+        tgt = jnp.concatenate([tgt, jnp.zeros((pad, 3), tgt.dtype)], axis=0)
+    valid = (jnp.arange(pix.shape[0]) < settings.num_pixels).astype(jnp.float32)
+    frame = jnp.asarray(frame, jnp.uint32)
+
+    mat_spec = jax.tree.map(lambda _: P(), materials)
+    scene_spec = jax.tree.map(lambda _: P(), scene)
+    cam_spec = jax.tree.map(lambda _: P(), camera)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(mat_spec, scene_spec, cam_spec, P(), P("px"), P("px"),
+                  P("px")),
+        out_specs=(mat_spec, P()),
+        check_rep=False,
+    )
+    def _step(materials, scene, camera, frame, pix_local, tgt_local, valid_local):
+        lane = jax.lax.axis_index("spp").astype(jnp.uint32)
+
+        def loss_fn(m):
+            s = dataclasses.replace(scene, materials=m)
+            col = render_pixels(
+                s, camera, settings, frame, pix_local,
+                spp_offset=lane * jnp.uint32(spp_local), spp_count=spp_local,
+            )
+            err = (col - tgt_local) ** 2 * valid_local[:, None]
+            return jnp.sum(err)
+
+        local_loss, grads = jax.value_and_grad(loss_fn)(materials)
+        # All-reduce over the full mesh: sum over pixel shards, mean over
+        # spp shards (each spp lane is an independent estimate).
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, "px"), grads)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "spp"), grads)
+        loss = jax.lax.psum(local_loss, "px")
+        loss = jax.lax.pmean(loss, "spp")
+        denom = 3.0 * settings.num_pixels
+        new_mats = jax.tree.map(
+            lambda p, g: (p - lr * g / denom).astype(p.dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            materials, grads,
+        )
+        return new_mats, loss / denom
+
+    return _step(materials, scene, camera, frame, pix, tgt, valid)
