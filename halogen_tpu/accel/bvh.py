@@ -66,13 +66,30 @@ def build_bvh(
     tri_verts: np.ndarray,
     max_leaf: int = MAX_LEAF_TRIS,
     max_depth: int = MAX_DEPTH,
+    method: str = "auto",
 ) -> BVH:
     """Build a BVH over [T, 3, 3] local-space triangle vertices.
 
     Returns flat node arrays whose child/triangle indices are LOCAL to this
     mesh (the render pass concatenates meshes with offsets, mirroring
     `HalogenRenderPass.cs:475-494`).
+
+    method: "auto" (native binned-SAH when the C++ library is available,
+    else the numpy midpoint builder), "sah" (native, required), or
+    "midpoint" (numpy). Both produce the same node layout and invariants
+    (leaves <= max_leaf unless depth runs out, contiguous children).
     """
+    if method in ("auto", "sah"):
+        from halogen_tpu.accel import native_loader
+
+        res = native_loader.build_bvh_sah(
+            np.asarray(tri_verts, np.float32), max_leaf, max_depth
+        )
+        if res is not None:
+            lo, hi, index_a, count, order, depth = res
+            return BVH(lo, hi, index_a, count, order, depth, max_leaf)
+        if method == "sah":
+            raise RuntimeError("native SAH builder unavailable")
     tri_verts = np.asarray(tri_verts, dtype=np.float32)
     n_tris = tri_verts.shape[0]
     order = np.arange(n_tris, dtype=np.int32)

@@ -38,13 +38,16 @@ class Intersector(enum.IntEnum):
     """Scene-intersection backend.
 
     AUTO selects BRUTE for small scenes (regular, gather-free — maps
-    perfectly onto the TPU VPU) and BVH for large meshes. The reference has
-    only a per-mesh BVH megakernel path (`HalgoenCompute.compute:378-472`).
+    perfectly onto the TPU VPU) and, above the triangle threshold, the
+    Pallas shared-stack traversal kernel on TPU (PALLAS) or the lockstep
+    JAX traversal elsewhere (BVH). The reference has only a per-mesh BVH
+    megakernel path (`HalgoenCompute.compute:378-472`).
     """
 
     AUTO = 0
     BRUTE = 1
     BVH = 2
+    PALLAS = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,6 +96,12 @@ class SceneData:
     # tuple of [Hm, Wm, 3] levels, coarsest-last. Empty tuple = black sky.
     env_mips: Tuple[jnp.ndarray, ...] = ()
 
+    # Global world-space BVH packed for the Pallas traversal kernel
+    # (kernels/bvh_pallas.WorldBVH NamedTuple), or None. Unlike the
+    # reference's per-mesh BVHs this is one tree over all pre-transformed
+    # triangles (its TLAS TODO solved the TPU way).
+    wbvh: object = None
+
     @property
     def num_triangles(self) -> int:
         return self.tri_verts_world.shape[0]

@@ -84,10 +84,29 @@ def render_loss_grad(
     target: jnp.ndarray,
     frame=0,
 ):
-    """(loss, grads) via path-replay backprop."""
+    """(loss, grads) via path-replay backprop. allow_int: MaterialTable
+    carries int32 id/priority leaves whose grads come back as float0."""
     return jax.value_and_grad(
-        lambda p: render_loss(p, scene, camera, settings, target, frame)
+        lambda p: render_loss(p, scene, camera, settings, target, frame),
+        allow_int=True,
     )(params)
+
+
+# Differentiable (float) fields of the material table; ids/priorities are
+# structural int32 and excluded from the optimization surface.
+FLOAT_MATERIAL_FIELDS = (
+    "albedo", "specular", "metallic", "roughness", "emissive", "ior",
+    "absorption",
+)
+
+
+def material_params(materials: MaterialTable) -> dict:
+    """Float-only param dict for optimizers (optax-safe)."""
+    return {f: getattr(materials, f) for f in FLOAT_MATERIAL_FIELDS}
+
+
+def with_material_params(materials: MaterialTable, params: dict) -> MaterialTable:
+    return dataclasses.replace(materials, **params)
 
 
 def make_optimizer(lr: float = 5e-2):
@@ -110,16 +129,29 @@ def fit_materials(
     parameters to a target image. Returns (params, losses)."""
     import optax
 
-    params = {"materials": scene.materials}
+    # Optimize over the float-only material surface (optax-safe); int
+    # id/priority leaves stay fixed on the base table.
+    params = {"material_params": material_params(scene.materials)}
     if optimize_env:
         params["env_mips"] = scene.env_mips
     opt = make_optimizer(lr)
     opt_state = opt.init(params)
 
-    @partial(jax.jit, static_argnames=())
+    def to_render_params(params):
+        out = {
+            "materials": with_material_params(
+                scene.materials, params["material_params"]
+            )
+        }
+        if "env_mips" in params:
+            out["env_mips"] = params["env_mips"]
+        return out
+
+    @jax.jit
     def step(params, opt_state, frame):
         loss, grads = jax.value_and_grad(
-            lambda p: render_loss(p, scene, camera, settings, target, frame)
+            lambda p: render_loss(to_render_params(p), scene, camera,
+                                  settings, target, frame)
         )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -132,4 +164,4 @@ def fit_materials(
         losses.append(float(loss))
         if callback is not None:
             callback(i, params, float(loss))
-    return params, losses
+    return to_render_params(params), losses

@@ -386,20 +386,78 @@ def intersect_bvh(
     return hit, tri_tests, box_tests
 
 
+# ---------------------------------------------------------------------------
+# Pallas shared-stack traversal (kernels/bvh_pallas.py)
+# ---------------------------------------------------------------------------
+
+def intersect_pallas(
+    scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
+    far: jnp.ndarray,
+):
+    """Closest hit via the Pallas block-synchronous world-BVH kernel.
+
+    Same contract as intersect_bvh; intersection-work counters are
+    block-aggregate (every ray in a 1024-ray block is charged for the
+    block's shared traversal — the honest cost model for this kernel).
+    Falls back to interpret mode off-TPU (slow; tests only).
+    """
+    from halogen_tpu.kernels.bvh_pallas import traverse_world_bvh
+
+    n = origin.shape[0]
+    sp_t, sp_i, sp_orient = _intersect_spheres(scene, origin, direction, far)
+    if scene.num_triangles == 0 or scene.wbvh is None:
+        hit = _sphere_only_hit(scene, origin, direction, sp_t, sp_i, sp_orient)
+        zeros = jnp.zeros((n,), jnp.int32)
+        return hit, zeros, zeros
+
+    # Seed best-t with the sphere distance minus the hit epsilon: a
+    # triangle must beat the sphere hit by HIT_EPS (compute:452) and lie
+    # inside the far plane.
+    seed = jnp.minimum(far, jnp.where(sp_t < INF, sp_t - HIT_EPS, INF))
+    interpret = jax.default_backend() != "tpu"
+    t, slot, u, v, s, tt, bt = traverse_world_bvh(
+        scene.wbvh, origin, direction, seed, interpret=interpret
+    )
+    t, u, v, s = (jax.lax.stop_gradient(x) for x in (t, u, v, s))
+    mesh_wins = t < seed  # kernel already enforced t < seed
+    tri = scene.wbvh.tri_map[slot]
+
+    t_final = jnp.where(mesh_wins, t, sp_t)
+    pos = _hit_pos(origin, direction, t_final)
+
+    tri_n = scene.tri_normals_world[tri]
+    n0, n1, n2 = tri_n[:, 0], tri_n[:, 1], tri_n[:, 2]
+    tri_normal = n0 + (n1 - n0) * u[:, None] + (n2 - n0) * v[:, None]
+    tri_normal = normalize(tri_normal * s[:, None], eps=1e-20)
+
+    sph_normal, sph_material = _sphere_normal_material(scene, pos, sp_i,
+                                                       sp_orient)
+    normal = jnp.where(mesh_wins[:, None], tri_normal, sph_normal)
+    orientation = jnp.where(mesh_wins, s, sp_orient)
+    material = jnp.where(mesh_wins, scene.tri_material[tri], sph_material)
+    hit = HitRecord(t=t_final, pos=pos, normal=normal,
+                    orientation=orientation, material=material)
+    return hit, tt, bt
+
+
 def intersect_scene(
     scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
     far: jnp.ndarray, settings: RenderSettings,
 ):
     """Backend dispatch (static): AUTO uses brute force below the triangle
-    threshold, BVH above (get_ray_intersection, compute:474-485)."""
+    threshold and the Pallas kernel (TPU) / lockstep JAX traversal (CPU)
+    above it (get_ray_intersection, compute:474-485)."""
     kind = settings.intersector
     if kind == Intersector.AUTO:
-        kind = (
-            Intersector.BRUTE
-            if scene.num_triangles <= settings.brute_force_max_tris
-            else Intersector.BVH
-        )
+        if scene.num_triangles <= settings.brute_force_max_tris:
+            kind = Intersector.BRUTE
+        elif jax.default_backend() == "tpu" and scene.wbvh is not None:
+            kind = Intersector.PALLAS
+        else:
+            kind = Intersector.BVH
     if kind == Intersector.BRUTE:
         return intersect_brute(scene, origin, direction, far,
                                settings.triangle_block)
+    if kind == Intersector.PALLAS:
+        return intersect_pallas(scene, origin, direction, far)
     return intersect_bvh(scene, origin, direction, far)

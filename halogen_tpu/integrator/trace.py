@@ -187,14 +187,17 @@ def trace_rays(
             shade_mask, mat.roughness * atten[:, 0], 0.0
         )
 
-        # --- Russian roulette (compute:923-936)
+        # --- Russian roulette (compute:923-936). The 1/p boost applies
+        # only to surviving lanes (as in the reference, which divides after
+        # the kill test); the double-where keeps the backward pass finite
+        # when contribution ~ 0 on dead/black lanes.
         if settings.russian_roulette:
             contribution = jnp.max(atten, axis=1)
             killed = shade_mask & (rr_rand > contribution)
+            survive = shade_mask & (~killed)
+            safe_c = jnp.where(survive, jnp.maximum(contribution, 1e-20), 1.0)
             atten = jnp.where(
-                shade_mask[:, None],
-                atten / jnp.maximum(contribution, 1e-20)[:, None],
-                atten,
+                survive[:, None], atten / safe_c[:, None], atten
             )
         else:
             killed = jnp.zeros_like(shade_mask)

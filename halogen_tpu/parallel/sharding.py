@@ -174,26 +174,56 @@ def train_step_sharded(
     def _step(materials, scene, camera, frame, pix_local, tgt_local, valid_local):
         lane = jax.lax.axis_index("spp").astype(jnp.uint32)
 
+        # Combine spp lanes BEFORE the loss so the objective is the MSE of
+        # the full-spp estimate (identical to unsharded training, and
+        # lower-variance than averaging per-lane MSEs). The collective sits
+        # inside autodiff; under check_rep=False JAX transposes psum/pmean
+        # to psum, which hands every lane the FULL cotangent instead of its
+        # 1/L share — the custom vjp pins the share explicitly so the final
+        # psum("spp") of lane grads reconstructs the true gradient.
+        @jax.custom_vjp
+        def spp_combine(col):
+            return jax.lax.pmean(col, "spp")
+
+        def _combine_fwd(col):
+            return spp_combine(col), None
+
+        def _combine_bwd(_, ct):
+            return (ct / n_spp,)
+
+        spp_combine.defvjp(_combine_fwd, _combine_bwd)
+
         def loss_fn(m):
             s = dataclasses.replace(scene, materials=m)
             col = render_pixels(
                 s, camera, settings, frame, pix_local,
                 spp_offset=lane * jnp.uint32(spp_local), spp_count=spp_local,
             )
+            col = spp_combine(col)
             err = (col - tgt_local) ** 2 * valid_local[:, None]
             return jnp.sum(err)
 
-        local_loss, grads = jax.value_and_grad(loss_fn)(materials)
-        # All-reduce over the full mesh: sum over pixel shards, mean over
-        # spp shards (each spp lane is an independent estimate).
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, "px"), grads)
-        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "spp"), grads)
+        # allow_int: MaterialTable carries int32 leaves (ids/priorities);
+        # their grads come back as float0 and are skipped below.
+        local_loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+            materials
+        )
+        is_f0 = lambda g: g.dtype == jax.dtypes.float0
+        # All-reduce over the full mesh: sum over pixel shards; sum over spp
+        # shards too — each lane's grad is its 1/L cotangent share of the
+        # combined-estimate loss, so the total is their sum.
+        grads = jax.tree.map(
+            lambda g: g if is_f0(g) else jax.lax.psum(g, "px"), grads
+        )
+        grads = jax.tree.map(
+            lambda g: g if is_f0(g) else jax.lax.psum(g, "spp"), grads
+        )
         loss = jax.lax.psum(local_loss, "px")
         loss = jax.lax.pmean(loss, "spp")
         denom = 3.0 * settings.num_pixels
         new_mats = jax.tree.map(
-            lambda p, g: (p - lr * g / denom).astype(p.dtype)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            lambda p, g: p if is_f0(g)
+            else (p - lr * g / denom).astype(p.dtype),
             materials, grads,
         )
         return new_mats, loss / denom

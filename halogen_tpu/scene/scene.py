@@ -87,7 +87,8 @@ class Scene:
 
     # -- packing ---------------------------------------------------------
     def build(self, envmap: Optional[object] = None,
-              max_leaf: int = MAX_LEAF_TRIS) -> SceneData:
+              max_leaf: int = MAX_LEAF_TRIS,
+              world_bvh: bool = True) -> SceneData:
         materials: List[Material] = []
 
         def material_index(m: Material) -> int:
@@ -159,6 +160,13 @@ class Scene:
 
         mat_table = _pack_materials(materials)
 
+        tv_world_cat = cat(tv_world, (0, 3, 3))
+        wbvh = None
+        if world_bvh and tv_world_cat.shape[0] > 0:
+            from halogen_tpu.kernels.bvh_pallas import pack_world_bvh
+
+            wbvh = pack_world_bvh(tv_world_cat, max_leaf=max_leaf)
+
         env_mips: Tuple[jnp.ndarray, ...] = ()
         if envmap is not None:
             from halogen_tpu.scene.envmap import Envmap
@@ -167,7 +175,7 @@ class Scene:
             env_mips = tuple(jnp.asarray(m) for m in envmap.mips)
 
         return SceneData(
-            tri_verts_world=jnp.asarray(cat(tv_world, (0, 3, 3))),
+            tri_verts_world=jnp.asarray(tv_world_cat),
             tri_normals_world=jnp.asarray(cat(tn_world, (0, 3, 3))),
             tri_material=jnp.asarray(cat(tri_mat, (0,), np.int32)),
             tri_mesh=jnp.asarray(cat(tri_mesh, (0,), np.int32)),
@@ -191,6 +199,7 @@ class Scene:
             sphere_material=jnp.asarray(s_mat),
             materials=mat_table,
             env_mips=env_mips,
+            wbvh=wbvh,
         )
 
 

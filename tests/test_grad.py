@@ -1,0 +1,125 @@
+"""Gradient correctness (SURVEY.md §4c, component #16): path-replay /
+detached-sampling autodiff gradients must match finite differences for
+smoothly-entering parameters — emission, albedo, absorption, envmap — on a
+fixed sample set."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import halogen_tpu as ht
+from halogen_tpu.diff.grad import render_loss, render_loss_grad
+from halogen_tpu.scene import cornell
+from halogen_tpu.scene.envmap import Envmap
+from halogen_tpu.scene.material import Material
+from halogen_tpu.scene.scene import Scene
+
+CAM = ht.make_camera(position=(0, 0, 3.2), target=(0, 0, 0), fov_deg=40)
+ST = ht.RenderSettings(width=16, height=16, samples_per_pixel=4,
+                       max_bounces=3, ray_chunk_size=256)
+# FD comparisons run with Russian roulette off: the kill threshold depends
+# on the perturbed parameter (contribution = max(attenuation)), so central
+# differences straddle decision flips and diverge from the a.e. derivative.
+ST_FD = ST.replace(russian_roulette=False)
+
+
+def _fd_check(scene, settings, leaf, indices, target, h=1e-3, rtol=0.12,
+              atol=2e-5):
+    """Central finite difference vs autodiff on selected material leaves."""
+    params = {"materials": scene.materials}
+    loss, grads = render_loss_grad(params, scene, CAM, settings, target, 1)
+    assert np.isfinite(float(loss))
+    g = np.asarray(getattr(grads["materials"], leaf))
+
+    for idx in indices:
+        def loss_at(v):
+            arr = getattr(scene.materials, leaf)
+            arr = arr.at[idx].set(v)
+            mats = dataclasses.replace(scene.materials, **{leaf: arr})
+            return float(render_loss({"materials": mats}, scene, CAM,
+                                     settings, target, 1))
+        v0 = float(np.asarray(getattr(scene.materials, leaf))[idx])
+        fd = (loss_at(v0 + h) - loss_at(v0 - h)) / (2 * h)
+        ad = float(g[idx])
+        assert np.isfinite(fd) and np.isfinite(ad)
+        np.testing.assert_allclose(ad, fd, rtol=rtol, atol=atol), (leaf, idx)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell.cornell_box().build()
+
+
+@pytest.fixture(scope="module")
+def target(scene):
+    # a slightly different render as the fitting target
+    return ht.render_frame(scene, CAM, ST, 7) * 0.8
+
+
+def test_emission_gradient_fd(scene, target):
+    # emissive leaf: [K, 4]; find the emitter row
+    em = np.asarray(scene.materials.emissive)
+    k = int(np.argmax(em[:, 3]))
+    _fd_check(scene, ST_FD, "emissive", [(k, 3), (k, 0)], target)
+
+
+def test_albedo_gradient_fd(scene, target):
+    al = np.asarray(scene.materials.albedo)
+    rows = [k for k in range(al.shape[0]) if al[k, :3].max() > 0.3][:2]
+    _fd_check(scene, ST_FD, "albedo", [(r, 0) for r in rows], target)
+
+
+def test_absorption_gradient_fd(target):
+    s = Scene()
+    s.add_sphere((0, 0, 1.0), 0.6,
+                 Material.glass(ior=1.0, subsurface=(1, 1, 1), absorption=0.8))
+    s.add_sphere((0, 0, -2.0), 1.0, Material.emissive((1, 1, 1), 2.0))
+    scene = s.build()
+    st = ST_FD.replace(max_transmission_bounces=12)
+    tgt = ht.render_frame(scene, CAM, st, 3) * 0.5
+    mats = np.asarray(scene.materials.absorption)
+    k = int(np.argmax(mats.sum(axis=1)))
+    _fd_check(scene, st, "absorption", [(k, 0)], tgt)
+
+
+def test_envmap_gradient_flows():
+    """d loss / d envmap texels must be nonzero for a sky-lit scene."""
+    s = Scene()
+    s.add_sphere((0, -51, 0), 50.0, Material.diffuse((0.8, 0.8, 0.8)))
+    scene = s.build(envmap=Envmap.constant((0.7, 0.7, 0.7)))
+    st = ST.replace(use_envmap=True, mip_importance_bias=False)
+    target = jnp.zeros((st.height, st.width, 3), jnp.float32)
+    params = {"materials": scene.materials, "env_mips": scene.env_mips}
+    loss, grads = render_loss_grad(params, scene, CAM, st, target, 1)
+    assert np.isfinite(float(loss))
+    total = sum(float(jnp.abs(g).sum()) for g in grads["env_mips"])
+    assert total > 0.0
+
+
+def test_gradients_deterministic(scene, target):
+    """Same frame -> bitwise identical gradients (replayable sampler)."""
+    params = {"materials": scene.materials}
+    _, g1 = render_loss_grad(params, scene, CAM, ST, target, 5)
+    _, g2 = render_loss_grad(params, scene, CAM, ST, target, 5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        if a.dtype == jax.dtypes.float0:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_materials_converges():
+    """Tiny inverse-rendering run: fitting an emissive intensity from a
+    brighter target must increase it."""
+    from halogen_tpu.diff.grad import fit_materials
+    s = Scene()
+    s.add_sphere((0, 0, 0), 1.0, Material.emissive((1, 1, 1), 1.0))
+    scene = s.build()
+    st = ST.replace(max_bounces=0, samples_per_pixel=1)
+    target = ht.render_frame(scene, CAM, st, 1) * 2.0  # want 2x brighter
+    params, losses = fit_materials(scene, CAM, st, target, steps=50, lr=8e-2)
+    assert losses[-1] < losses[0] * 0.25
+    em = np.asarray(params["materials"].emissive)
+    assert em[:, 3].max() * em[:, :3].max() > 1.2
