@@ -83,6 +83,12 @@ class RenderSettings:
     # Environment
     use_envmap: bool = False
     env_mip_level: int = 1  # clamped [0, 2] like HalogenRenderPass.cs:183
+    # Real envmap importance sampling: per-diffuse-bounce next-event
+    # estimation from the luminance CDF, MIS-combined (balance heuristic)
+    # with the cosine BRDF sampling. Capability beyond the reference (its
+    # MIS TODO, HalgoenCompute.compute:19). Costs one extra scene
+    # intersection per bounce.
+    env_importance_sampling: bool = False
 
     # Compile-time flags (HalogenDefines.hlsl:4-10)
     mip_importance_bias: bool = True  # QUESTIONABLE_IMPORTANCE_SAMPLING

@@ -96,6 +96,10 @@ class SceneData:
     # tuple of [Hm, Wm, 3] levels, coarsest-last. Empty tuple = black sky.
     env_mips: Tuple[jnp.ndarray, ...] = ()
 
+    # Envmap luminance-CDF tables (scene/envmap.EnvCDF) for next-event
+    # estimation + MIS, or None (capability beyond the reference).
+    env_cdf: object = None
+
     # Global world-space BVH packed for the Pallas traversal kernel
     # (kernels/bvh_pallas.WorldBVH NamedTuple), or None. Unlike the
     # reference's per-mesh BVHs this is one tree over all pre-transformed

@@ -36,7 +36,11 @@ from halogen_tpu.integrator.camera import Camera, generate_rays
 from halogen_tpu.integrator.intersect import intersect_scene
 from halogen_tpu.integrator.shade import evaluate_material_hit, gather_materials
 from halogen_tpu.sampler import sobol as sob
-from halogen_tpu.scene.envmap import sample_env
+from halogen_tpu.scene.envmap import (
+    env_pdf,
+    sample_env,
+    sample_env_direction,
+)
 
 
 def _sampler_2d(settings: RenderSettings):
@@ -86,6 +90,15 @@ def trace_rays(
     s2 = _sampler_2d(settings)
     s1 = _sampler_1d(settings)
 
+    # Envmap NEE is active only when the flag, the map, and its CDF tables
+    # are all present (static decision — changes the compiled program).
+    use_nee = (
+        settings.use_envmap
+        and settings.env_importance_sampling
+        and scene.env_cdf is not None
+        and bool(scene.env_mips)
+    )
+
     class Carry(NamedTuple):
         origin: jnp.ndarray
         direction: jnp.ndarray
@@ -100,6 +113,10 @@ def trace_rays(
         first_t: jnp.ndarray
         first_albedo: jnp.ndarray
         first_normal: jnp.ndarray
+        # MIS state for envmap NEE: was the previous scatter an NEE-covered
+        # diffuse lobe, and its cosine pdf for the continuation direction.
+        prev_nee: jnp.ndarray
+        prev_pcos: jnp.ndarray
 
     init = Carry(
         origin=origin,
@@ -115,6 +132,8 @@ def trace_rays(
         first_t=jnp.full((n,), np.inf, jnp.float32),
         first_albedo=jnp.zeros((n, 3), jnp.float32),
         first_normal=jnp.zeros((n, 3), jnp.float32),
+        prev_nee=jnp.zeros((n,), bool),
+        prev_pcos=jnp.zeros((n,), jnp.float32),
     )
 
     def bounce(carry: Carry, k):
@@ -172,6 +191,57 @@ def trace_rays(
         atten = jnp.where(sm, carry.attenuation * shaded.attenuation,
                           carry.attenuation)
 
+        # --- envmap next-event estimation + MIS (capability beyond the
+        # reference; see config.env_importance_sampling). Restricted to
+        # pure-diffuse lanes (metallic 0, opaque): there the lobe-selection
+        # probability is 1, so f = albedo/pi and the continuation density is
+        # cos/pi — the balance heuristic below is exactly unbiased. Other
+        # lobes keep plain BRDF sampling with weight 1.
+        if use_nee:
+            nee_lane = (
+                shade_mask & (mat.metallic <= 0.0) & (mat.alpha >= 1.0)
+            )
+            dim_nee = (
+                jnp.uint32(sob.DIM_ENV_NEE_BASE)
+                + jnp.uint32(sob.BOUNCE_DIM_STRIDE) * k.astype(jnp.uint32)
+            )
+            nu, nv = s2(sample_idx, dim_nee, seed)
+            ldir, lpdf = sample_env_direction(scene.env_cdf, nu, nv)
+            cos_l = jnp.sum(hit.normal * ldir, axis=-1)
+            cand = nee_lane & (cos_l > 0.0) & (lpdf > 1e-12)
+            sh_origin = hit.pos + hit.normal * 1e-4
+            sh_hit, _, _ = intersect_scene(scene, sh_origin, ldir, far,
+                                           settings)
+            visible = sh_hit.t >= far
+            # Radiance MUST come from the same (finest) mip the pdf tables
+            # were built from: a coarser mip spreads bright texels onto
+            # neighbors whose pdf is tiny -> giant-weight fireflies. The
+            # env_mip_level knob remains a BRDF-path-only bias, as in the
+            # reference.
+            radiance = sample_env(
+                scene.env_mips, ldir, jnp.zeros((n,), jnp.int32)
+            )
+            p_cos = cos_l * np.float32(1.0 / np.pi)
+            w_nee = lpdf / (lpdf + p_cos)
+            f_cos = mat.albedo * (cos_l * np.float32(1.0 / np.pi))[:, None]
+            contrib = (
+                carry.attenuation * f_cos * radiance
+                * (w_nee / jnp.maximum(lpdf, 1e-12))[:, None]
+            )
+            color = color + jnp.where(
+                (cand & visible)[:, None], contrib, 0.0
+            )
+            # MIS state for the continuation ray: cosine pdf of the new
+            # direction on diffuse-lobe lanes.
+            new_pcos = jnp.maximum(
+                jnp.sum(hit.normal * new_dir, axis=-1), 0.0
+            ) * np.float32(1.0 / np.pi)
+            prev_nee = nee_lane & (shaded.bounce_type == 0)
+            prev_pcos = jnp.where(prev_nee, new_pcos, 0.0)
+        else:
+            prev_nee = carry.prev_nee
+            prev_pcos = carry.prev_pcos
+
         # Bounce-type counts (compute:796,807)
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (n, 3), 1)
@@ -212,7 +282,19 @@ def trace_rays(
         else:
             level = jnp.full((n,), settings.env_mip_level, jnp.int32)
         sky = sample_sky(scene, carry.direction, level, settings)
-        color = color + jnp.where(miss[:, None], sky * carry.attenuation, 0.0)
+        sky_w = jnp.ones((n,), jnp.float32)
+        if use_nee:
+            # MIS weight for BRDF-sampled env hits whose previous scatter
+            # was an NEE-covered diffuse lobe (balance heuristic vs the
+            # luminance-CDF density).
+            p_env_here = env_pdf(scene.env_cdf, carry.direction)
+            w_cont = carry.prev_pcos / jnp.maximum(
+                carry.prev_pcos + p_env_here, 1e-12
+            )
+            sky_w = jnp.where(carry.prev_nee, w_cont, sky_w)
+        color = color + jnp.where(
+            miss[:, None], sky * carry.attenuation * sky_w[:, None], 0.0
+        )
 
         new_active = active & is_hit & (~killed)
 
@@ -230,6 +312,8 @@ def trace_rays(
             first_t=first_t,
             first_albedo=first_albedo,
             first_normal=first_normal,
+            prev_nee=prev_nee,
+            prev_pcos=prev_pcos,
         )
         # Detached-sampling gradient estimator: path geometry (origins and
         # scattered directions) is treated as fixed in the backward pass, so

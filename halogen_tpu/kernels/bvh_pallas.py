@@ -293,6 +293,10 @@ def traverse_world_bvh(
                              memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    # Scene buffers (nodes + tris) are grid-constant but the pipeline still
+    # provisions double buffers for them; raise the scoped-VMEM cap so
+    # ~60-200k-triangle scenes fit (v5e/v4 have headroom beyond the 16MB
+    # default). Larger scenes need an HBM-streaming variant.
     outs = pl.pallas_call(
         _traverse_kernel,
         grid=(nb,),
@@ -300,6 +304,9 @@ def traverse_world_bvh(
         out_specs=[flat_spec] * 7,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(wbvh.nodes, wbvh.tris, o, d, seed)
 

@@ -17,7 +17,7 @@ Importance Sampling") but BASELINE.json asks for.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, NamedTuple, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -116,15 +116,25 @@ def sample_env(
 
 
 # ---------------------------------------------------------------------------
-# Importance sampling tables (capability beyond the reference).
+# Importance sampling tables (capability beyond the reference — its
+# "importance sampling" is the mip-bias hack; MIS is its TODO,
+# HalgoenCompute.compute:19).
 # ---------------------------------------------------------------------------
 
-def build_env_cdf(env: np.ndarray):
+class EnvCDF(NamedTuple):
+    """Luminance-distribution tables for envmap next-event estimation."""
+
+    marginal_cdf: jnp.ndarray  # [H]
+    conditional_cdf: jnp.ndarray  # [H, W]
+    pdf: jnp.ndarray  # [H, W] solid-angle pdf
+
+
+def build_env_cdf(env: np.ndarray) -> EnvCDF:
     """Marginal/conditional CDFs over solid-angle-weighted luminance of an
-    equirect map [H, W, 3]. Returns (marginal_cdf [H], conditional_cdf [H, W],
-    pdf [H, W]) as numpy arrays; pdf is w.r.t. solid angle."""
+    equirect map [H, W, 3]; pdf is w.r.t. solid angle."""
     h, w = env.shape[:2]
-    lum = env @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+    lum = np.asarray(env, np.float32) @ np.asarray(
+        [0.2126, 0.7152, 0.0722], np.float32)
     sin_theta = np.sin((np.arange(h) + 0.5) / h * np.pi).astype(np.float32)
     weight = lum * sin_theta[:, None] + 1e-12
     row_sum = weight.sum(axis=1)
@@ -133,25 +143,38 @@ def build_env_cdf(env: np.ndarray):
     # pdf(direction) = weight / (total * texel_solid_angle)
     texel_sa = (2 * np.pi / w) * (np.pi / h) * sin_theta[:, None]
     pdf = weight / (weight.sum() * texel_sa)
-    return (marginal_cdf.astype(np.float32),
-            conditional_cdf.astype(np.float32), pdf.astype(np.float32))
+    return EnvCDF(
+        jnp.asarray(marginal_cdf.astype(np.float32)),
+        jnp.asarray(conditional_cdf.astype(np.float32)),
+        jnp.asarray(pdf.astype(np.float32)),
+    )
 
 
-def sample_env_direction(marginal_cdf, conditional_cdf, u1, u2):
+def sample_env_direction(cdf: EnvCDF, u1, u2):
     """Inverse-CDF sample of a direction from the luminance distribution.
-    Returns ([..., 3] directions, [...,] row, [...,] col)."""
-    h = marginal_cdf.shape[0]
-    w = conditional_cdf.shape[1]
-    row = jnp.searchsorted(marginal_cdf, u1)
-    row = jnp.clip(row, 0, h - 1)
-    cond = conditional_cdf[row]
-    col = jnp.clip(jnp.searchsorted_batched(cond, u2), 0, w - 1) if hasattr(
-        jnp, "searchsorted_batched") else jnp.clip(
-        jnp.sum((cond < u2[..., None]).astype(jnp.int32), axis=-1), 0, w - 1)
+    Returns ([..., 3] directions, pdf [...] w.r.t. solid angle)."""
+    h = cdf.marginal_cdf.shape[0]
+    w = cdf.conditional_cdf.shape[1]
+    row = jnp.clip(jnp.searchsorted(cdf.marginal_cdf, u1), 0, h - 1)
+    cond = cdf.conditional_cdf[row]  # [..., W]
+    # batched row-wise inversion: count entries below u2 (VPU-friendly)
+    col = jnp.clip(
+        jnp.sum((cond < u2[..., None]).astype(jnp.int32), axis=-1), 0, w - 1
+    )
     theta = (row.astype(jnp.float32) + 0.5) / h * np.pi
     phi = ((col.astype(jnp.float32) + 0.5) / w - 0.5) * 2.0 * np.pi
     sin_t = jnp.sin(theta)
     d = jnp.stack(
         [sin_t * jnp.sin(phi), jnp.cos(theta), -sin_t * jnp.cos(phi)], axis=-1
     )
-    return d, row, col
+    return d, cdf.pdf[row, col]
+
+
+def env_pdf(cdf: EnvCDF, direction: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of the luminance distribution for [..., 3] dirs
+    (the MIS weight for BRDF samples that reach the sky)."""
+    h, w = cdf.pdf.shape
+    u, v = dir_to_equirect_uv(direction)
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return cdf.pdf[y, x]

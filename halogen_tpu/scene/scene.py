@@ -168,11 +168,13 @@ class Scene:
             wbvh = pack_world_bvh(tv_world_cat, max_leaf=max_leaf)
 
         env_mips: Tuple[jnp.ndarray, ...] = ()
+        env_cdf = None
         if envmap is not None:
-            from halogen_tpu.scene.envmap import Envmap
+            from halogen_tpu.scene.envmap import Envmap, build_env_cdf
 
             assert isinstance(envmap, Envmap)
             env_mips = tuple(jnp.asarray(m) for m in envmap.mips)
+            env_cdf = build_env_cdf(envmap.mips[0])
 
         return SceneData(
             tri_verts_world=jnp.asarray(tv_world_cat),
@@ -199,6 +201,7 @@ class Scene:
             sphere_material=jnp.asarray(s_mat),
             materials=mat_table,
             env_mips=env_mips,
+            env_cdf=env_cdf,
             wbvh=wbvh,
         )
 
