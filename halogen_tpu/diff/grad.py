@@ -115,6 +115,29 @@ def make_optimizer(lr: float = 5e-2):
     return optax.adam(lr)
 
 
+def save_fit_state(path: str, params, opt_state, step: int):
+    """Checkpoint an optimization run (SURVEY.md §5.4 applied to inverse
+    rendering): flat leaves of (params, opt_state) + step counter, npz."""
+    import numpy as np
+
+    leaves = jax.tree.leaves((params, opt_state))
+    np.savez(path, step=np.int64(step),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_fit_state(path: str, params_like, opt_state_like):
+    """Restore (params, opt_state, step); the pytree structure comes from
+    the 'like' templates (same scene + optimizer config)."""
+    import numpy as np
+
+    data = np.load(path)
+    treedef = jax.tree.structure((params_like, opt_state_like))
+    n = treedef.num_leaves
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    params, opt_state = jax.tree.unflatten(treedef, leaves)
+    return params, opt_state, int(data["step"])
+
+
 def fit_materials(
     scene: SceneData,
     camera: Camera,
@@ -124,9 +147,13 @@ def fit_materials(
     lr: float = 5e-2,
     optimize_env: bool = False,
     callback=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 25,
 ):
     """Inverse-rendering driver: fit material (and optionally envmap)
-    parameters to a target image. Returns (params, losses)."""
+    parameters to a target image. Returns (params, losses). When
+    `checkpoint_path` exists the run resumes from it; progress is saved
+    every `checkpoint_every` steps."""
     import optax
 
     # Optimize over the float-only material surface (optax-safe); int
@@ -157,11 +184,24 @@ def fit_materials(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    start = 0
+    if checkpoint_path:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            params, opt_state, start = load_fit_state(
+                checkpoint_path, params, opt_state
+            )
+
     losses = []
-    for i in range(steps):
+    for i in range(start, steps):
         # Vary the sample stream per step: stochastic gradient over frames
         params, opt_state, loss = step(params, opt_state, jnp.uint32(i))
         losses.append(float(loss))
         if callback is not None:
             callback(i, params, float(loss))
+        if checkpoint_path and (i + 1) % checkpoint_every == 0:
+            save_fit_state(checkpoint_path, params, opt_state, i + 1)
+    if checkpoint_path and losses:
+        save_fit_state(checkpoint_path, params, opt_state, steps)
     return to_render_params(params), losses

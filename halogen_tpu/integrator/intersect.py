@@ -390,9 +390,34 @@ def intersect_bvh(
 # Pallas shared-stack traversal (kernels/bvh_pallas.py)
 # ---------------------------------------------------------------------------
 
+def _ray_sort_keys(scene: SceneData, origin, direction) -> jnp.ndarray:
+    """Coherence key for block-synchronous traversal: direction octant in
+    the high bits, 7-bit-per-axis Morton code of the origin (within the
+    world-BVH root bounds) below. Sorting bounce rays by this key groups
+    rays that will traverse similar subtrees into the same 1024-ray block,
+    which is what the shared-stack kernel's speculation model wants."""
+    root = scene.wbvh.nodes[0]
+    lo = root[0:3]
+    inv_ext = 1.0 / jnp.maximum(root[3:6] - lo, 1e-6)
+    q = jnp.clip(((origin - lo) * inv_ext * 127.0).astype(jnp.int32), 0, 127)
+
+    def spread3(x):  # interleave 7 bits -> 21
+        x = (x | (x << 14)) & 0x1F0000FF
+        x = (x | (x << 6)) & 0x10C30C3F
+        x = (x | (x << 2)) & 0x49249249 & ((1 << 21) - 1)
+        return x
+
+    morton = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+              | (spread3(q[:, 2]) << 2))
+    octant = ((direction[:, 0] > 0).astype(jnp.int32)
+              | ((direction[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((direction[:, 2] > 0).astype(jnp.int32) << 2))
+    return (octant << 21) | morton
+
+
 def intersect_pallas(
     scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
-    far: jnp.ndarray,
+    far: jnp.ndarray, sort_rays: bool = True,
 ):
     """Closest hit via the Pallas block-synchronous world-BVH kernel.
 
@@ -400,6 +425,11 @@ def intersect_pallas(
     block-aggregate (every ray in a 1024-ray block is charged for the
     block's shared traversal — the honest cost model for this kernel).
     Falls back to interpret mode off-TPU (slow; tests only).
+
+    sort_rays: permute rays by an octant+Morton coherence key before the
+    kernel and unpermute the results — cheap XLA sort/gathers vs. the
+    traversal, and it restores block coherence for bounce rays. The image
+    is bit-identical either way (results return to their original lanes).
     """
     from halogen_tpu.kernels.bvh_pallas import traverse_world_bvh
 
@@ -415,9 +445,21 @@ def intersect_pallas(
     # inside the far plane.
     seed = jnp.minimum(far, jnp.where(sp_t < INF, sp_t - HIT_EPS, INF))
     interpret = jax.default_backend() != "tpu"
-    t, slot, u, v, s, tt, bt = traverse_world_bvh(
-        scene.wbvh, origin, direction, seed, interpret=interpret
-    )
+
+    if sort_rays:
+        order = jnp.argsort(_ray_sort_keys(scene, origin, direction))
+        inv = jnp.argsort(order)
+        t, slot, u, v, s, tt, bt = traverse_world_bvh(
+            scene.wbvh, origin[order], direction[order], seed[order],
+            interpret=interpret,
+        )
+        t, slot, u, v, s, tt, bt = (
+            x[inv] for x in (t, slot, u, v, s, tt, bt)
+        )
+    else:
+        t, slot, u, v, s, tt, bt = traverse_world_bvh(
+            scene.wbvh, origin, direction, seed, interpret=interpret
+        )
     t, u, v, s = (jax.lax.stop_gradient(x) for x in (t, u, v, s))
     mesh_wins = t < seed  # kernel already enforced t < seed
     tri = scene.wbvh.tri_map[slot]
