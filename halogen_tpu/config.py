@@ -104,6 +104,11 @@ class RenderSettings:
 
     # TPU execution knobs (no reference counterpart)
     intersector: Intersector = Intersector.AUTO
+    # Wavefront scheduler (SURVEY.md §2 #14): compact active rays per
+    # bounce and run only live blocks. Forward-only (no grad); best for
+    # deep-bounce scenes with Russian roulette. Off = lockstep masking.
+    wavefront: bool = False
+    wavefront_block: int = 8192  # rays per wavefront dispatch block
     ray_chunk_size: int = 65536  # rays traced per inner step (memory bound)
     triangle_block: int = 128  # brute-force triangle tile (lane-aligned)
     brute_force_max_tris: int = 4096  # AUTO picks BVH above this

@@ -4,10 +4,18 @@ debug views, and the per-frame renderer.
 TPU re-implementation of the reference megakernel
 (`HalgoenCompute.compute:876-1063`): instead of one GPU thread per pixel
 with divergent control flow, rays live in flat SoA arrays and the bounce
-loop is a `lax.scan` with per-ray active masks — every iteration advances
-all rays in lockstep on the VPU, and terminated lanes are masked. The spp
-loop is an outer scan (constant memory in spp), pixels are chunked to bound
-live ray-state memory.
+loop advances all rays in lockstep on the VPU with per-ray active masks.
+Two schedulers share one bounce implementation (`_pool_bounce`):
+
+- **lockstep** (`trace_rays`, default): `lax.scan` over bounces on the full
+  ray pool; terminated lanes are masked. Reverse-differentiable — the scan
+  is `jax.checkpoint`-ed, giving path-replay backprop.
+- **wavefront** (`trace_rays_wavefront`, `settings.wavefront`): the
+  SURVEY.md §2 #14 design — per bounce, the pool is compacted (active rays
+  sorted to the front) and a `lax.while_loop` with a data-dependent trip
+  count processes only the live blocks. Deep-bounce scenes with Russian
+  roulette stop paying for dead lanes. Forward-only (while_loop has no
+  transpose); training uses the lockstep path.
 
 Semantics preserved (trace_ray, compute:876-950):
 - per-ray-type bounce limits checked at loop top with `>` (compute:869-871)
@@ -55,6 +63,17 @@ def _sampler_1d(settings: RenderSettings):
     return sob.ld_sample_1d
 
 
+def _use_nee(scene: SceneData, settings: RenderSettings) -> bool:
+    """Envmap NEE is active only when the flag, the map, and its CDF
+    tables are all present (static decision)."""
+    return (
+        settings.use_envmap
+        and settings.env_importance_sampling
+        and scene.env_cdf is not None
+        and bool(scene.env_mips)
+    )
+
+
 def sample_sky(
     scene: SceneData, direction: jnp.ndarray, level: jnp.ndarray,
     settings: RenderSettings,
@@ -66,59 +85,36 @@ def sample_sky(
     return sample_env(scene.env_mips, direction, level)
 
 
-class TraceOut(NamedTuple):
-    color: jnp.ndarray  # [N, 3]
-    tri_tests: jnp.ndarray  # [N] int32 (first segment, for debug heatmaps)
-    box_tests: jnp.ndarray  # [N] int32
-    first_hit_t: jnp.ndarray  # [N]
-    first_hit_albedo: jnp.ndarray  # [N, 3]
-    first_hit_normal: jnp.ndarray  # [N, 3]
+class Pool(NamedTuple):
+    """Per-ray SoA state advanced by `_pool_bounce` (any leading length)."""
+
+    origin: jnp.ndarray
+    direction: jnp.ndarray
+    attenuation: jnp.ndarray
+    color: jnp.ndarray
+    acc_roughness: jnp.ndarray
+    counts: jnp.ndarray  # [N, 3] bounce-type counts
+    stack: MediumStack
+    active: jnp.ndarray
+    tri_tests: jnp.ndarray
+    box_tests: jnp.ndarray
+    first_t: jnp.ndarray
+    first_albedo: jnp.ndarray
+    first_normal: jnp.ndarray
+    # MIS state for envmap NEE: was the previous scatter an NEE-covered
+    # diffuse lobe, and its cosine pdf for the continuation direction.
+    prev_nee: jnp.ndarray
+    prev_pcos: jnp.ndarray
+    # Per-ray sampler inputs + clip distance (carried so the pool can be
+    # permuted/sliced freely by the wavefront scheduler).
+    sample_idx: jnp.ndarray
+    seed: jnp.ndarray
+    far: jnp.ndarray
 
 
-def trace_rays(
-    scene: SceneData,
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
-    far: jnp.ndarray,
-    sample_idx: jnp.ndarray,
-    seed: jnp.ndarray,
-    settings: RenderSettings,
-) -> TraceOut:
-    """Trace a batch of primary rays to completion. Returns radiance plus
-    first-hit channels for the debug views."""
+def _make_pool(origin, direction, far, sample_idx, seed) -> Pool:
     n = origin.shape[0]
-    s2 = _sampler_2d(settings)
-    s1 = _sampler_1d(settings)
-
-    # Envmap NEE is active only when the flag, the map, and its CDF tables
-    # are all present (static decision — changes the compiled program).
-    use_nee = (
-        settings.use_envmap
-        and settings.env_importance_sampling
-        and scene.env_cdf is not None
-        and bool(scene.env_mips)
-    )
-
-    class Carry(NamedTuple):
-        origin: jnp.ndarray
-        direction: jnp.ndarray
-        attenuation: jnp.ndarray
-        color: jnp.ndarray
-        acc_roughness: jnp.ndarray
-        counts: jnp.ndarray  # [N, 3] bounce-type counts
-        stack: MediumStack
-        active: jnp.ndarray
-        tri_tests: jnp.ndarray
-        box_tests: jnp.ndarray
-        first_t: jnp.ndarray
-        first_albedo: jnp.ndarray
-        first_normal: jnp.ndarray
-        # MIS state for envmap NEE: was the previous scatter an NEE-covered
-        # diffuse lobe, and its cosine pdf for the continuation direction.
-        prev_nee: jnp.ndarray
-        prev_pcos: jnp.ndarray
-
-    init = Carry(
+    return Pool(
         origin=origin,
         direction=direction,
         attenuation=jnp.ones((n, 3), jnp.float32),
@@ -134,209 +130,316 @@ def trace_rays(
         first_normal=jnp.zeros((n, 3), jnp.float32),
         prev_nee=jnp.zeros((n,), bool),
         prev_pcos=jnp.zeros((n,), jnp.float32),
+        sample_idx=jnp.broadcast_to(sample_idx, (n,)).astype(jnp.uint32),
+        seed=jnp.broadcast_to(seed, (n,)).astype(jnp.uint32),
+        far=jnp.broadcast_to(far, (n,)),
     )
 
-    def bounce(carry: Carry, k):
-        # --- per-type termination check at loop top (compute:891-893)
-        over = (
-            (carry.counts[:, 0] > settings.max_diffuse_bounces)
-            | (carry.counts[:, 1] > settings.max_glossy_bounces)
-            | (carry.counts[:, 2] > settings.max_transmission_bounces)
-        )
-        active = carry.active & (~over)
 
-        hit, tt, bt = intersect_scene(
-            scene, carry.origin, carry.direction, far, settings
-        )
-        is_hit = hit.t < far  # compute:898
-        mat = gather_materials(scene.materials, hit.material)
+def _pool_bounce(
+    scene: SceneData, settings: RenderSettings, carry: Pool, k
+) -> Pool:
+    """One bounce of every ray in `carry` (the megakernel body,
+    trace_ray compute:876-950). Pure function of the pool — both
+    schedulers call this on full pools or compacted slices."""
+    n = carry.origin.shape[0]
+    s2 = _sampler_2d(settings)
+    s1 = _sampler_1d(settings)
+    use_nee = _use_nee(scene, settings)
+    sample_idx, seed, far = carry.sample_idx, carry.seed, carry.far
 
-        first = k == 0
-        first_t = jnp.where(first, hit.t, carry.first_t)
-        first_albedo = jnp.where(first, mat.albedo, carry.first_albedo)
-        first_normal = jnp.where(first, hit.normal, carry.first_normal)
+    # --- per-type termination check at loop top (compute:891-893)
+    over = (
+        (carry.counts[:, 0] > settings.max_diffuse_bounces)
+        | (carry.counts[:, 1] > settings.max_glossy_bounces)
+        | (carry.counts[:, 2] > settings.max_transmission_bounces)
+    )
+    active = carry.active & (~over)
 
-        # --- emission (compute:901-902)
-        emission = mat.emissive_rgb * mat.emissive_intensity[:, None]
-        color = carry.color + jnp.where(
-            (active & is_hit)[:, None], emission * carry.attenuation, 0.0
-        )
+    hit, tt, bt = intersect_scene(
+        scene, carry.origin, carry.direction, far, settings
+    )
+    is_hit = hit.t < far  # compute:898
+    mat = gather_materials(scene.materials, hit.material)
 
-        # --- sampler dims for this bounce (base + 5*k, compute:921)
-        dim_refl = (
-            jnp.uint32(sob.DIM_ROUGH_REFLECTION)
-            + jnp.uint32(sob.BOUNCE_DIM_STRIDE) * k.astype(jnp.uint32)
-        )
-        dim_prop = (
-            jnp.uint32(sob.DIM_MATERIAL_BRDF)
-            + jnp.uint32(sob.BOUNCE_DIM_STRIDE) * k.astype(jnp.uint32)
-        )
-        dim_rr = (
-            jnp.uint32(sob.DIM_RUSSIAN_ROULETTE)
-            + jnp.uint32(sob.BOUNCE_DIM_STRIDE) * k.astype(jnp.uint32)
-        )
-        refl_rand = s2(sample_idx, dim_refl, seed)
-        prop_rand = s2(sample_idx, dim_prop, seed)
-        rr_rand = s1(sample_idx, dim_rr, seed)
+    first = k == 0
+    first_t = jnp.where(first, hit.t, carry.first_t)
+    first_albedo = jnp.where(first, mat.albedo, carry.first_albedo)
+    first_normal = jnp.where(first, hit.normal, carry.first_normal)
 
-        shade_mask = active & is_hit
-        shaded = evaluate_material_hit(
-            carry.direction, hit, mat, carry.stack, shade_mask,
-            refl_rand, prop_rand,
+    # --- emission (compute:901-902)
+    emission = mat.emissive_rgb * mat.emissive_intensity[:, None]
+    color = carry.color + jnp.where(
+        (active & is_hit)[:, None], emission * carry.attenuation, 0.0
+    )
+
+    # --- sampler dims for this bounce (base + 5*k, compute:921)
+    ku = k.astype(jnp.uint32) if hasattr(k, "astype") else jnp.uint32(k)
+    stride = jnp.uint32(sob.BOUNCE_DIM_STRIDE) * ku
+    refl_rand = s2(sample_idx, jnp.uint32(sob.DIM_ROUGH_REFLECTION) + stride,
+                   seed)
+    prop_rand = s2(sample_idx, jnp.uint32(sob.DIM_MATERIAL_BRDF) + stride,
+                   seed)
+    rr_rand = s1(sample_idx, jnp.uint32(sob.DIM_RUSSIAN_ROULETTE) + stride,
+                 seed)
+
+    shade_mask = active & is_hit
+    shaded = evaluate_material_hit(
+        carry.direction, hit, mat, carry.stack, shade_mask,
+        refl_rand, prop_rand,
+    )
+
+    sm = shade_mask[:, None]
+    new_origin = jnp.where(sm, shaded.origin, carry.origin)
+    new_dir = jnp.where(sm, shaded.direction, carry.direction)
+    atten = jnp.where(sm, carry.attenuation * shaded.attenuation,
+                      carry.attenuation)
+
+    # --- envmap next-event estimation + MIS (capability beyond the
+    # reference; see config.env_importance_sampling). Restricted to
+    # pure-diffuse lanes (metallic 0, opaque): there the lobe-selection
+    # probability is 1, so f = albedo/pi and the continuation density is
+    # cos/pi — the balance heuristic below is exactly unbiased. Other
+    # lobes keep plain BRDF sampling with weight 1.
+    if use_nee:
+        nee_lane = shade_mask & (mat.metallic <= 0.0) & (mat.alpha >= 1.0)
+        dim_nee = jnp.uint32(sob.DIM_ENV_NEE_BASE) + stride
+        nu, nv = s2(sample_idx, dim_nee, seed)
+        ldir, lpdf = sample_env_direction(scene.env_cdf, nu, nv)
+        cos_l = jnp.sum(hit.normal * ldir, axis=-1)
+        cand = nee_lane & (cos_l > 0.0) & (lpdf > 1e-12)
+        sh_origin = hit.pos + hit.normal * 1e-4
+        sh_hit, _, _ = intersect_scene(scene, sh_origin, ldir, far, settings)
+        visible = sh_hit.t >= far
+        # Radiance MUST come from the same (finest) mip the pdf tables
+        # were built from: a coarser mip spreads bright texels onto
+        # neighbors whose pdf is tiny -> giant-weight fireflies. The
+        # env_mip_level knob remains a BRDF-path-only bias, as in the
+        # reference.
+        radiance = sample_env(
+            scene.env_mips, ldir, jnp.zeros((n,), jnp.int32)
         )
-
-        sm = shade_mask[:, None]
-        new_origin = jnp.where(sm, shaded.origin, carry.origin)
-        new_dir = jnp.where(sm, shaded.direction, carry.direction)
-        atten = jnp.where(sm, carry.attenuation * shaded.attenuation,
-                          carry.attenuation)
-
-        # --- envmap next-event estimation + MIS (capability beyond the
-        # reference; see config.env_importance_sampling). Restricted to
-        # pure-diffuse lanes (metallic 0, opaque): there the lobe-selection
-        # probability is 1, so f = albedo/pi and the continuation density is
-        # cos/pi — the balance heuristic below is exactly unbiased. Other
-        # lobes keep plain BRDF sampling with weight 1.
-        if use_nee:
-            nee_lane = (
-                shade_mask & (mat.metallic <= 0.0) & (mat.alpha >= 1.0)
-            )
-            dim_nee = (
-                jnp.uint32(sob.DIM_ENV_NEE_BASE)
-                + jnp.uint32(sob.BOUNCE_DIM_STRIDE) * k.astype(jnp.uint32)
-            )
-            nu, nv = s2(sample_idx, dim_nee, seed)
-            ldir, lpdf = sample_env_direction(scene.env_cdf, nu, nv)
-            cos_l = jnp.sum(hit.normal * ldir, axis=-1)
-            cand = nee_lane & (cos_l > 0.0) & (lpdf > 1e-12)
-            sh_origin = hit.pos + hit.normal * 1e-4
-            sh_hit, _, _ = intersect_scene(scene, sh_origin, ldir, far,
-                                           settings)
-            visible = sh_hit.t >= far
-            # Radiance MUST come from the same (finest) mip the pdf tables
-            # were built from: a coarser mip spreads bright texels onto
-            # neighbors whose pdf is tiny -> giant-weight fireflies. The
-            # env_mip_level knob remains a BRDF-path-only bias, as in the
-            # reference.
-            radiance = sample_env(
-                scene.env_mips, ldir, jnp.zeros((n,), jnp.int32)
-            )
-            p_cos = cos_l * np.float32(1.0 / np.pi)
-            w_nee = lpdf / (lpdf + p_cos)
-            f_cos = mat.albedo * (cos_l * np.float32(1.0 / np.pi))[:, None]
-            contrib = (
-                carry.attenuation * f_cos * radiance
-                * (w_nee / jnp.maximum(lpdf, 1e-12))[:, None]
-            )
-            color = color + jnp.where(
-                (cand & visible)[:, None], contrib, 0.0
-            )
-            # MIS state for the continuation ray: cosine pdf of the new
-            # direction on diffuse-lobe lanes.
-            new_pcos = jnp.maximum(
-                jnp.sum(hit.normal * new_dir, axis=-1), 0.0
-            ) * np.float32(1.0 / np.pi)
-            prev_nee = nee_lane & (shaded.bounce_type == 0)
-            prev_pcos = jnp.where(prev_nee, new_pcos, 0.0)
-        else:
-            prev_nee = carry.prev_nee
-            prev_pcos = carry.prev_pcos
-
-        # Bounce-type counts (compute:796,807)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (n, 3), 1)
-            == shaded.bounce_type[:, None]
+        p_cos = cos_l * np.float32(1.0 / np.pi)
+        w_nee = lpdf / (lpdf + p_cos)
+        f_cos = mat.albedo * (cos_l * np.float32(1.0 / np.pi))[:, None]
+        contrib = (
+            carry.attenuation * f_cos * radiance
+            * (w_nee / jnp.maximum(lpdf, 1e-12))[:, None]
         )
-        counts = carry.counts + jnp.where(
-            sm & onehot, 1, 0
+        color = color + jnp.where((cand & visible)[:, None], contrib, 0.0)
+        # MIS state for the continuation ray: cosine pdf of the new
+        # direction on diffuse-lobe lanes.
+        new_pcos = jnp.maximum(
+            jnp.sum(hit.normal * new_dir, axis=-1), 0.0
+        ) * np.float32(1.0 / np.pi)
+        prev_nee = nee_lane & (shaded.bounce_type == 0)
+        prev_pcos = jnp.where(prev_nee, new_pcos, 0.0)
+    else:
+        prev_nee = carry.prev_nee
+        prev_pcos = carry.prev_pcos
+
+    # Bounce-type counts (compute:796,807)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 3), 1)
+        == shaded.bounce_type[:, None]
+    )
+    counts = carry.counts + jnp.where(sm & onehot, 1, 0).astype(jnp.int32)
+
+    # Roughness accumulator quirk: scalar += roughness * attenuation.x
+    # (compute:911 with HLSL float3->float truncation)
+    acc_roughness = carry.acc_roughness + jnp.where(
+        shade_mask, mat.roughness * atten[:, 0], 0.0
+    )
+
+    # --- Russian roulette (compute:923-936). The 1/p boost applies
+    # only to surviving lanes (as in the reference, which divides after
+    # the kill test); the double-where keeps the backward pass finite
+    # when contribution ~ 0 on dead/black lanes.
+    if settings.russian_roulette:
+        contribution = jnp.max(atten, axis=1)
+        killed = shade_mask & (rr_rand > contribution)
+        survive = shade_mask & (~killed)
+        safe_c = jnp.where(survive, jnp.maximum(contribution, 1e-20), 1.0)
+        atten = jnp.where(survive[:, None], atten / safe_c[:, None], atten)
+    else:
+        killed = jnp.zeros_like(shade_mask)
+
+    # --- miss: sky emission, ray dies (compute:938-946)
+    miss = active & (~is_hit)
+    if settings.mip_importance_bias:
+        level = jnp.round(
+            settings.env_mip_level
+            + carry.acc_roughness * settings.mip_importance_range
         ).astype(jnp.int32)
-
-        # Roughness accumulator quirk: scalar += roughness * attenuation.x
-        # (compute:911 with HLSL float3->float truncation)
-        acc_roughness = carry.acc_roughness + jnp.where(
-            shade_mask, mat.roughness * atten[:, 0], 0.0
+    else:
+        level = jnp.full((n,), settings.env_mip_level, jnp.int32)
+    sky = sample_sky(scene, carry.direction, level, settings)
+    sky_w = jnp.ones((n,), jnp.float32)
+    if use_nee:
+        # MIS weight for BRDF-sampled env hits whose previous scatter
+        # was an NEE-covered diffuse lobe (balance heuristic vs the
+        # luminance-CDF density).
+        p_env_here = env_pdf(scene.env_cdf, carry.direction)
+        w_cont = carry.prev_pcos / jnp.maximum(
+            carry.prev_pcos + p_env_here, 1e-12
         )
+        sky_w = jnp.where(carry.prev_nee, w_cont, sky_w)
+    color = color + jnp.where(
+        miss[:, None], sky * carry.attenuation * sky_w[:, None], 0.0
+    )
 
-        # --- Russian roulette (compute:923-936). The 1/p boost applies
-        # only to surviving lanes (as in the reference, which divides after
-        # the kill test); the double-where keeps the backward pass finite
-        # when contribution ~ 0 on dead/black lanes.
-        if settings.russian_roulette:
-            contribution = jnp.max(atten, axis=1)
-            killed = shade_mask & (rr_rand > contribution)
-            survive = shade_mask & (~killed)
-            safe_c = jnp.where(survive, jnp.maximum(contribution, 1e-20), 1.0)
-            atten = jnp.where(
-                survive[:, None], atten / safe_c[:, None], atten
-            )
-        else:
-            killed = jnp.zeros_like(shade_mask)
+    new_active = active & is_hit & (~killed)
 
-        # --- miss: sky emission, ray dies (compute:938-946)
-        miss = active & (~is_hit)
-        if settings.mip_importance_bias:
-            level = jnp.round(
-                settings.env_mip_level
-                + carry.acc_roughness * settings.mip_importance_range
-            ).astype(jnp.int32)
-        else:
-            level = jnp.full((n,), settings.env_mip_level, jnp.int32)
-        sky = sample_sky(scene, carry.direction, level, settings)
-        sky_w = jnp.ones((n,), jnp.float32)
-        if use_nee:
-            # MIS weight for BRDF-sampled env hits whose previous scatter
-            # was an NEE-covered diffuse lobe (balance heuristic vs the
-            # luminance-CDF density).
-            p_env_here = env_pdf(scene.env_cdf, carry.direction)
-            w_cont = carry.prev_pcos / jnp.maximum(
-                carry.prev_pcos + p_env_here, 1e-12
-            )
-            sky_w = jnp.where(carry.prev_nee, w_cont, sky_w)
-        color = color + jnp.where(
-            miss[:, None], sky * carry.attenuation * sky_w[:, None], 0.0
-        )
+    out = carry._replace(
+        origin=new_origin,
+        direction=new_dir,
+        attenuation=atten,
+        color=color,
+        acc_roughness=acc_roughness,
+        counts=counts,
+        stack=shaded.stack,
+        active=new_active,
+        tri_tests=carry.tri_tests + jnp.where(active, tt, 0),
+        box_tests=carry.box_tests + jnp.where(active, bt, 0),
+        first_t=first_t,
+        first_albedo=first_albedo,
+        first_normal=first_normal,
+        prev_nee=prev_nee,
+        prev_pcos=prev_pcos,
+    )
+    # Detached-sampling gradient estimator: path geometry (origins and
+    # scattered directions) is treated as fixed in the backward pass, so
+    # parameter gradients flow only through throughput weights, emission
+    # and sky radiance — the standard path-replay decomposition, and it
+    # keeps inf/NaN from miss lanes out of the cotangent graph.
+    return out._replace(
+        origin=jax.lax.stop_gradient(out.origin),
+        direction=jax.lax.stop_gradient(out.direction),
+    )
 
-        new_active = active & is_hit & (~killed)
 
-        out = Carry(
-            origin=new_origin,
-            direction=new_dir,
-            attenuation=atten,
-            color=color,
-            acc_roughness=acc_roughness,
-            counts=counts,
-            stack=shaded.stack,
-            active=new_active,
-            tri_tests=carry.tri_tests + jnp.where(active, tt, 0),
-            box_tests=carry.box_tests + jnp.where(active, bt, 0),
-            first_t=first_t,
-            first_albedo=first_albedo,
-            first_normal=first_normal,
-            prev_nee=prev_nee,
-            prev_pcos=prev_pcos,
-        )
-        # Detached-sampling gradient estimator: path geometry (origins and
-        # scattered directions) is treated as fixed in the backward pass, so
-        # parameter gradients flow only through throughput weights, emission
-        # and sky radiance — the standard path-replay decomposition, and it
-        # keeps inf/NaN from miss lanes out of the cotangent graph.
-        out = out._replace(
-            origin=jax.lax.stop_gradient(out.origin),
-            direction=jax.lax.stop_gradient(out.direction),
-        )
-        return out, None
+class TraceOut(NamedTuple):
+    color: jnp.ndarray  # [N, 3]
+    tri_tests: jnp.ndarray  # [N] int32 (first segment, for debug heatmaps)
+    box_tests: jnp.ndarray  # [N] int32
+    first_hit_t: jnp.ndarray  # [N]
+    first_hit_albedo: jnp.ndarray  # [N, 3]
+    first_hit_normal: jnp.ndarray  # [N, 3]
+
+
+def _pool_out(pool: Pool) -> TraceOut:
+    return TraceOut(
+        color=pool.color,
+        tri_tests=pool.tri_tests,
+        box_tests=pool.box_tests,
+        first_hit_t=pool.first_t,
+        first_hit_albedo=pool.first_albedo,
+        first_hit_normal=pool.first_normal,
+    )
+
+
+def trace_rays(
+    scene: SceneData,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    far: jnp.ndarray,
+    sample_idx: jnp.ndarray,
+    seed: jnp.ndarray,
+    settings: RenderSettings,
+) -> TraceOut:
+    """Lockstep scheduler: scan over bounces on the full ray pool.
+    Reverse-differentiable (jax.checkpoint-ed path replay)."""
+    pool = _make_pool(origin, direction, far, sample_idx, seed)
+
+    def bounce(pool, k):
+        return _pool_bounce(scene, settings, pool, k), None
 
     ks = jnp.arange(settings.max_bounces + 1, dtype=jnp.int32)
-    final, _ = jax.lax.scan(jax.checkpoint(bounce), init, ks)
+    final, _ = jax.lax.scan(jax.checkpoint(bounce), pool, ks)
+    return _pool_out(final)
 
-    return TraceOut(
-        color=final.color,
-        tri_tests=final.tri_tests,
-        box_tests=final.box_tests,
-        first_hit_t=final.first_t,
-        first_hit_albedo=final.first_albedo,
-        first_hit_normal=final.first_normal,
-    )
+
+def trace_rays_wavefront(
+    scene: SceneData,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    far: jnp.ndarray,
+    sample_idx: jnp.ndarray,
+    seed: jnp.ndarray,
+    settings: RenderSettings,
+) -> TraceOut:
+    """Wavefront scheduler (SURVEY.md §2 #14): per bounce, compact active
+    rays to the front of the pool (stable sort — deterministic) and run a
+    while_loop over only the live blocks. Per-ray results are identical to
+    the lockstep scheduler (each ray sees the same op sequence; it just
+    runs in a different slot), so images match bit-for-bit; only wasted
+    work on dead lanes is skipped. Forward-only."""
+    n = origin.shape[0]
+    block = max(min(settings.wavefront_block, n), 1)
+    pad = (-n) % block
+    if pad:
+        zeros3 = jnp.zeros((pad, 3), jnp.float32)
+        origin = jnp.concatenate([origin, zeros3])
+        direction = jnp.concatenate(
+            [direction, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))]
+        )
+        far = jnp.concatenate([far, jnp.zeros((pad,), far.dtype)])
+        sample_idx = jnp.concatenate([
+            jnp.broadcast_to(sample_idx, (n,)).astype(jnp.uint32),
+            jnp.zeros((pad,), jnp.uint32),
+        ])
+        seed = jnp.concatenate([
+            jnp.broadcast_to(seed, (n,)).astype(jnp.uint32),
+            jnp.zeros((pad,), jnp.uint32),
+        ])
+    np_total = n + pad
+
+    pool = _make_pool(origin, direction, far, sample_idx, seed)
+    if pad:
+        alive = jnp.arange(np_total) < n
+        pool = pool._replace(active=pool.active & alive)
+    # original slot of the ray currently in each pool position
+    idx = jnp.arange(np_total, dtype=jnp.int32)
+    n_blocks = np_total // block
+
+    def bounce(state, k):
+        pool, idx = state
+        # stable compaction: active rays first, original order preserved
+        order = jnp.argsort(~pool.active, stable=True)
+        pool = jax.tree.map(lambda a: a[order], pool)
+        idx = idx[order]
+        live_blocks = jnp.minimum(
+            (jnp.sum(pool.active) + block - 1) // block, n_blocks
+        ).astype(jnp.int32)
+
+        def cond(s):
+            return s[0] < live_blocks
+
+        def body(s):
+            b, pool = s
+            sl = partial(jax.lax.dynamic_slice_in_dim,
+                         start_index=b * block, slice_size=block, axis=0)
+            sub = jax.tree.map(sl, pool)
+            sub = _pool_bounce(scene, settings, sub, k)
+            pool = jax.tree.map(
+                lambda a, v: jax.lax.dynamic_update_slice_in_dim(
+                    a, v, b * block, 0),
+                pool, sub,
+            )
+            return b + 1, pool
+
+        _, pool = jax.lax.while_loop(cond, body, (jnp.int32(0), pool))
+        return (pool, idx), None
+
+    ks = jnp.arange(settings.max_bounces + 1, dtype=jnp.int32)
+    (pool, idx), _ = jax.lax.scan(bounce, (pool, idx), ks)
+
+    # scatter results back to original ray slots, drop padding
+    def unscatter(a):
+        out = jnp.zeros_like(a)
+        return out.at[idx].set(a)[:n]
+
+    return TraceOut(*(unscatter(x) for x in _pool_out(pool)))
 
 
 def _debug_color(out: TraceOut, scene, direction, far, settings) -> jnp.ndarray:
@@ -393,6 +496,7 @@ def render_pixels(
     py = pix // w
     seed = sob.pixel_seed(pix.astype(jnp.uint32))
     far = jnp.broadcast_to(camera.far, (n,))
+    tracer = trace_rays_wavefront if settings.wavefront else trace_rays
 
     def spp_body(acc, s):
         sidx = sob.sample_index(frame, jnp.uint32(spp_offset) + s,
@@ -402,7 +506,7 @@ def render_pixels(
             camera, px, py, w, h, settings.filter_radius,
             sidx, seed, _sampler_2d(settings),
         )
-        out = trace_rays(scene, o, d, far, sidx, seed, settings)
+        out = tracer(scene, o, d, far, sidx, seed, settings)
         if settings.debug_mode != DebugMode.NONE:
             col = _debug_color(out, scene, d, far, settings)
         else:
