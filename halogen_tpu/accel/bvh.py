@@ -178,6 +178,35 @@ def build_bvh(
     )
 
 
+def bvh_stats(bvh: BVH) -> dict:
+    """Build statistics (the reference's LogBVHCreation,
+    BVHGenerator.cs:131-133: split failures, depth, leaf occupancy)."""
+    leaf = bvh.count > 0
+    counts = bvh.count[leaf]
+    return {
+        "nodes": int(bvh.num_nodes),
+        "leaves": int(leaf.sum()),
+        "depth": int(bvh.depth),
+        "min_leaf": int(counts.min()) if counts.size else 0,
+        "max_leaf": int(counts.max()) if counts.size else 0,
+        "mean_leaf": float(counts.mean()) if counts.size else 0.0,
+        "oversized_leaves": int((counts > bvh.max_leaf).sum()),
+    }
+
+
+def log_bvh_stats(bvh: BVH, name: str = "mesh"):
+    """Debug.Log-style build report (SURVEY.md §5.5)."""
+    from halogen_tpu.utils.metrics import get_logger
+
+    s = bvh_stats(bvh)
+    get_logger().info(
+        "BVH[%s]: %d nodes, %d leaves, depth %d, leaf occupancy "
+        "%d..%d (mean %.1f), %d oversized",
+        name, s["nodes"], s["leaves"], s["depth"], s["min_leaf"],
+        s["max_leaf"], s["mean_leaf"], s["oversized_leaves"],
+    )
+
+
 def validate_bvh(bvh: BVH, tri_verts: np.ndarray) -> list[str]:
     """Structural invariant checks (the build-stat/debug counterpart of
     `BVHGenerator.cs:131-133`): every triangle in exactly one leaf; child

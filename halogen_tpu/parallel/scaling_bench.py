@@ -1,0 +1,90 @@
+"""Scaling benchmark harness (BASELINE north star: >=85% rays/s efficiency
+1 chip -> 1 host -> N hosts).
+
+Measures sharded-render throughput across growing device subsets of
+whatever platform is present — real chips on a pod slice (call
+`init_distributed()` first on multi-host), or the virtual CPU mesh in CI —
+and reports per-size Mrays/s plus parallel efficiency vs the single-device
+run. Usage:
+
+    python -m halogen_tpu.parallel.scaling_bench [--width 512 --spp 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def run_scaling_bench(width=256, spp=8, bounces=4, frames=2,
+                      spp_shards=1, scene=None, camera=None, settings=None):
+    """Returns a list of {devices, mrays_per_sec, efficiency} records."""
+    import halogen_tpu as ht
+    from halogen_tpu.scene import cornell
+    from halogen_tpu.parallel.sharding import (
+        make_render_mesh, render_frame_sharded)
+
+    if scene is None:
+        scene = cornell.cornell_box(glossy=True).build()
+    if camera is None:
+        camera = ht.make_camera(position=(0, 0, 3.2), target=(0, 0, 0),
+                                fov_deg=40)
+    if settings is None:
+        settings = ht.RenderSettings(
+            width=width, height=width, samples_per_pixel=spp,
+            max_bounces=bounces, ray_chunk_size=min(width * width, 262144),
+        )
+
+    devices = jax.devices()
+    sizes = []
+    d = 1
+    while d <= len(devices):
+        sizes.append(d)
+        d *= 2
+    if sizes[-1] != len(devices):
+        sizes.append(len(devices))
+
+    results = []
+    base = None
+    for nd in sizes:
+        n_spp = spp_shards if nd % spp_shards == 0 and nd >= spp_shards else 1
+        mesh = make_render_mesh(nd // n_spp, n_spp, devices=devices[:nd])
+        img = render_frame_sharded(scene, camera, settings, 0, mesh)
+        img.block_until_ready()
+        t0 = time.perf_counter()
+        for f in range(frames):
+            img = render_frame_sharded(scene, camera, settings, f + 1, mesh)
+        img.block_until_ready()
+        dt = time.perf_counter() - t0
+        rays = settings.samples_per_pixel * settings.num_pixels * frames
+        mrays = rays / dt / 1e6
+        if base is None:
+            base = mrays
+        results.append({
+            "devices": nd,
+            "mrays_per_sec": round(mrays, 3),
+            "efficiency": round(mrays / (base * nd), 4),
+        })
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--spp-shards", type=int, default=1)
+    args = ap.parse_args(argv)
+    for rec in run_scaling_bench(args.width, args.spp, args.bounces,
+                                 args.frames, args.spp_shards):
+        print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
