@@ -31,7 +31,7 @@ PRESETS = {
                                bounces=6, frames=1, aperture=2.0),
     # 3. Envmap scene with importance sampling + Blackman-Harris AA, 1024^2
     "envmap_1024": dict(scene="envmap_demo", width=1024, spp=16, bounces=4,
-                        frames=1, envmap=True),
+                        frames=1, envmap=True, env_nee=True),
     # 4. Glass dragon: nested dielectrics + absorption + RR
     "glass_dragon": dict(scene="glass_dragon", width=512, spp=32, bounces=12,
                          frames=1),
@@ -87,6 +87,10 @@ def _settings(args):
         max_accumulated_frames=args.frames,
         unlimited_sampling=False,
         use_envmap=args.envmap,
+        env_importance_sampling=args.env_nee,
+        light_importance_sampling=args.light_nee,
+        wavefront=args.wavefront,
+        env_mip_level=0 if args.env_nee else 1,
         sampler=SamplerKind.PRNG if args.prng else SamplerKind.SOBOL,
         russian_roulette=not args.no_rr,
         ray_chunk_size=args.chunk,
@@ -115,6 +119,12 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--bounces", type=int, default=6)
     p.add_argument("--frames", type=int, default=1)
     p.add_argument("--envmap", action="store_true")
+    p.add_argument("--env-nee", dest="env_nee", action="store_true",
+                   help="envmap importance sampling (NEE + MIS)")
+    p.add_argument("--light-nee", dest="light_nee", action="store_true",
+                   help="area-light importance sampling (NEE + MIS)")
+    p.add_argument("--wavefront", action="store_true",
+                   help="wavefront scheduler (compact + live blocks)")
     p.add_argument("--prng", action="store_true",
                    help="PCG PRNG sampler ablation")
     p.add_argument("--no-rr", action="store_true",

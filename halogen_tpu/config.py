@@ -89,6 +89,12 @@ class RenderSettings:
     # MIS TODO, HalgoenCompute.compute:19). Costs one extra scene
     # intersection per bounce.
     env_importance_sampling: bool = False
+    # Area-light next-event estimation: per-diffuse-bounce sample of an
+    # emissive triangle (power-proportional CDF), MIS-combined with the
+    # cosine continuation. Capability beyond the reference (whose small
+    # Cornell panel is found only by chance). Costs one extra scene
+    # intersection per bounce.
+    light_importance_sampling: bool = False
 
     # Compile-time flags (HalogenDefines.hlsl:4-10)
     mip_importance_bias: bool = True  # QUESTIONABLE_IMPORTANCE_SAMPLING

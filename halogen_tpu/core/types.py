@@ -100,6 +100,13 @@ class SceneData:
     # estimation + MIS, or None (capability beyond the reference).
     env_cdf: object = None
 
+    # Emissive-triangle table (scene/lights.LightTable) for area-light
+    # next-event estimation + MIS, or None (capability beyond the
+    # reference). tri_light_pdf_area is the dense per-triangle companion:
+    # selection_prob/area for emissive triangles, 0 elsewhere.
+    lights: object = None
+    tri_light_pdf_area: jnp.ndarray = None
+
     # Global world-space BVH packed for the Pallas traversal kernel
     # (kernels/bvh_pallas.WorldBVH NamedTuple), or None. Unlike the
     # reference's per-mesh BVHs this is one tree over all pre-transformed
@@ -130,3 +137,4 @@ class HitRecord:
     normal: jnp.ndarray  # [N, 3] shading normal, flipped double-sided
     orientation: jnp.ndarray  # [N] +1 front / -1 back
     material: jnp.ndarray  # [N] int32 material index
+    tri: jnp.ndarray  # [N] int32 global triangle index, -1 for sphere/miss

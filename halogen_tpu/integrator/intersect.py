@@ -175,7 +175,8 @@ def _sphere_only_hit(scene, origin, direction, sp_t, sp_i, sp_orient):
     pos = _hit_pos(origin, direction, sp_t)
     normal, material = _sphere_normal_material(scene, pos, sp_i, sp_orient)
     return HitRecord(t=sp_t, pos=pos, normal=normal,
-                     orientation=sp_orient, material=material)
+                     orientation=sp_orient, material=material,
+                     tri=jnp.full(sp_t.shape, -1, jnp.int32))
 
 
 def intersect_brute(
@@ -215,7 +216,8 @@ def intersect_brute(
     material = jnp.where(mesh_wins, scene.tri_material[tr_i], sph_material)
 
     hit = HitRecord(t=t, pos=pos, normal=normal,
-                    orientation=orientation, material=material)
+                    orientation=orientation, material=material,
+                    tri=jnp.where(mesh_wins, tr_i, -1))
     tri_tests = jnp.full((n,), scene.num_triangles, jnp.int32)
     box_tests = jnp.zeros((n,), jnp.int32)
     return hit, tri_tests, box_tests
@@ -382,7 +384,8 @@ def intersect_bvh(
         mesh_wins, scene.mesh_material[best["mesh"]], sph_material
     )
     hit = HitRecord(t=t, pos=pos, normal=normal,
-                    orientation=orientation, material=material)
+                    orientation=orientation, material=material,
+                    tri=jnp.where(mesh_wins, best["tri"], -1))
     return hit, tri_tests, box_tests
 
 
@@ -478,7 +481,8 @@ def intersect_pallas(
     orientation = jnp.where(mesh_wins, s, sp_orient)
     material = jnp.where(mesh_wins, scene.tri_material[tri], sph_material)
     hit = HitRecord(t=t_final, pos=pos, normal=normal,
-                    orientation=orientation, material=material)
+                    orientation=orientation, material=material,
+                    tri=jnp.where(mesh_wins, tri, -1))
     return hit, tt, bt
 
 

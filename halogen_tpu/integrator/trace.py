@@ -49,6 +49,7 @@ from halogen_tpu.scene.envmap import (
     sample_env,
     sample_env_direction,
 )
+from halogen_tpu.scene.lights import sample_light_point
 
 
 def _sampler_2d(settings: RenderSettings):
@@ -72,6 +73,12 @@ def _use_nee(scene: SceneData, settings: RenderSettings) -> bool:
         and scene.env_cdf is not None
         and bool(scene.env_mips)
     )
+
+
+def _use_light_nee(scene: SceneData, settings: RenderSettings) -> bool:
+    """Area-light NEE requires the flag and a non-empty emissive-triangle
+    table (static decision)."""
+    return settings.light_importance_sampling and scene.lights is not None
 
 
 def sample_sky(
@@ -101,9 +108,11 @@ class Pool(NamedTuple):
     first_t: jnp.ndarray
     first_albedo: jnp.ndarray
     first_normal: jnp.ndarray
-    # MIS state for envmap NEE: was the previous scatter an NEE-covered
-    # diffuse lobe, and its cosine pdf for the continuation direction.
+    # MIS state for NEE: was the previous scatter an NEE-covered diffuse
+    # lobe (env / area-light variants), and its cosine pdf for the
+    # continuation direction (shared — it is the same density).
     prev_nee: jnp.ndarray
+    prev_lnee: jnp.ndarray
     prev_pcos: jnp.ndarray
     # Per-ray sampler inputs + clip distance (carried so the pool can be
     # permuted/sliced freely by the wavefront scheduler).
@@ -129,6 +138,7 @@ def _make_pool(origin, direction, far, sample_idx, seed) -> Pool:
         first_albedo=jnp.zeros((n, 3), jnp.float32),
         first_normal=jnp.zeros((n, 3), jnp.float32),
         prev_nee=jnp.zeros((n,), bool),
+        prev_lnee=jnp.zeros((n,), bool),
         prev_pcos=jnp.zeros((n,), jnp.float32),
         sample_idx=jnp.broadcast_to(sample_idx, (n,)).astype(jnp.uint32),
         seed=jnp.broadcast_to(seed, (n,)).astype(jnp.uint32),
@@ -146,6 +156,7 @@ def _pool_bounce(
     s2 = _sampler_2d(settings)
     s1 = _sampler_1d(settings)
     use_nee = _use_nee(scene, settings)
+    use_lnee = _use_light_nee(scene, settings)
     sample_idx, seed, far = carry.sample_idx, carry.seed, carry.far
 
     # --- per-type termination check at loop top (compute:891-893)
@@ -167,10 +178,26 @@ def _pool_bounce(
     first_albedo = jnp.where(first, mat.albedo, carry.first_albedo)
     first_normal = jnp.where(first, hit.normal, carry.first_normal)
 
-    # --- emission (compute:901-902)
+    # --- emission (compute:901-902). With area-light NEE on, emission
+    # reached via an NEE-covered diffuse continuation is MIS-weighted
+    # (balance heuristic vs the light table's solid-angle density at this
+    # hit); sphere emitters have pdf_area 0 -> weight 1.
     emission = mat.emissive_rgb * mat.emissive_intensity[:, None]
+    em_w = jnp.ones((n,), jnp.float32)
+    if use_lnee:
+        pdf_area_hit = jnp.where(
+            hit.tri >= 0,
+            scene.tri_light_pdf_area[jnp.maximum(hit.tri, 0)], 0.0)
+        cos_hit = jnp.abs(jnp.sum(carry.direction * hit.normal, axis=-1))
+        t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
+        pdf_sa_hit = pdf_area_hit * t_safe * t_safe / jnp.maximum(
+            cos_hit, 1e-6)
+        w_cont = carry.prev_pcos / jnp.maximum(
+            carry.prev_pcos + pdf_sa_hit, 1e-12)
+        em_w = jnp.where(carry.prev_lnee & (pdf_sa_hit > 0.0), w_cont, em_w)
     color = carry.color + jnp.where(
-        (active & is_hit)[:, None], emission * carry.attenuation, 0.0
+        (active & is_hit)[:, None],
+        emission * carry.attenuation * em_w[:, None], 0.0
     )
 
     # --- sampler dims for this bounce (base + 5*k, compute:921)
@@ -201,8 +228,21 @@ def _pool_bounce(
     # probability is 1, so f = albedo/pi and the continuation density is
     # cos/pi — the balance heuristic below is exactly unbiased. Other
     # lobes keep plain BRDF sampling with weight 1.
+    diffuse_lane = shade_mask & (mat.metallic <= 0.0) & (mat.alpha >= 1.0)
+    if use_nee or use_lnee:
+        # cosine pdf of the chosen continuation direction (shared MIS state)
+        new_pcos = jnp.maximum(
+            jnp.sum(hit.normal * new_dir, axis=-1), 0.0
+        ) * np.float32(1.0 / np.pi)
+        prev_pcos = jnp.where(
+            diffuse_lane & (shaded.bounce_type == 0), new_pcos, 0.0)
+    else:
+        prev_pcos = carry.prev_pcos
+    prev_nee = carry.prev_nee
+    prev_lnee = carry.prev_lnee
+
     if use_nee:
-        nee_lane = shade_mask & (mat.metallic <= 0.0) & (mat.alpha >= 1.0)
+        nee_lane = diffuse_lane
         dim_nee = jnp.uint32(sob.DIM_ENV_NEE_BASE) + stride
         nu, nv = s2(sample_idx, dim_nee, seed)
         ldir, lpdf = sample_env_direction(scene.env_cdf, nu, nv)
@@ -227,16 +267,48 @@ def _pool_bounce(
             * (w_nee / jnp.maximum(lpdf, 1e-12))[:, None]
         )
         color = color + jnp.where((cand & visible)[:, None], contrib, 0.0)
-        # MIS state for the continuation ray: cosine pdf of the new
-        # direction on diffuse-lobe lanes.
-        new_pcos = jnp.maximum(
-            jnp.sum(hit.normal * new_dir, axis=-1), 0.0
-        ) * np.float32(1.0 / np.pi)
         prev_nee = nee_lane & (shaded.bounce_type == 0)
-        prev_pcos = jnp.where(prev_nee, new_pcos, 0.0)
-    else:
-        prev_nee = carry.prev_nee
-        prev_pcos = carry.prev_pcos
+
+    # --- area-light next-event estimation + MIS (see scene/lights.py).
+    # Same diffuse-lane restriction and balance heuristic as envmap NEE.
+    if use_lnee:
+        u_sel = s1(sample_idx, jnp.uint32(sob.DIM_LIGHT_NEE_SEL) + stride,
+                   seed)
+        pu, pv = s2(sample_idx, jnp.uint32(sob.DIM_LIGHT_NEE_POINT) + stride,
+                    seed)
+        lpos, lgn, pdf_area, ltri = sample_light_point(
+            scene.lights, scene.tri_verts_world, u_sel, pu, pv)
+        wi_vec = lpos - hit.pos
+        d2 = jnp.sum(wi_vec * wi_vec, axis=-1)
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        wi = wi_vec / dist[:, None]
+        cos_s = jnp.sum(hit.normal * wi, axis=-1)
+        gn_hat = lgn / jnp.maximum(
+            jnp.linalg.norm(lgn, axis=-1, keepdims=True), 1e-12)
+        cos_l = jnp.abs(jnp.sum(gn_hat * wi, axis=-1))
+        cand_l = (diffuse_lane & (cos_s > 0.0) & (cos_l > 1e-4)
+                  & (pdf_area > 0.0) & (ltri != hit.tri))
+        # shadow ray clipped just short of the light point so the light
+        # triangle itself does not occlude
+        sh_far = dist * np.float32(1.0 - 1e-3)
+        sh_origin = hit.pos + hit.normal * 1e-4
+        lsh_hit, _, _ = intersect_scene(scene, sh_origin, wi, sh_far,
+                                        settings)
+        visible_l = lsh_hit.t >= sh_far
+        lmat_id = scene.tri_material[jnp.maximum(ltri, 0)]
+        l_em = (scene.materials.emissive[lmat_id, :3]
+                * scene.materials.emissive[lmat_id, 3][:, None])
+        pdf_sa = pdf_area * d2 / jnp.maximum(cos_l, 1e-6)
+        p_cos_l = cos_s * np.float32(1.0 / np.pi)
+        w_l = pdf_sa / jnp.maximum(pdf_sa + p_cos_l, 1e-12)
+        f_cos_l = mat.albedo * (cos_s * np.float32(1.0 / np.pi))[:, None]
+        contrib_l = (
+            carry.attenuation * f_cos_l * l_em
+            * (w_l / jnp.maximum(pdf_sa, 1e-12))[:, None]
+        )
+        color = color + jnp.where(
+            (cand_l & visible_l)[:, None], contrib_l, 0.0)
+        prev_lnee = diffuse_lane & (shaded.bounce_type == 0)
 
     # Bounce-type counts (compute:796,807)
     onehot = (
@@ -305,6 +377,7 @@ def _pool_bounce(
         first_albedo=first_albedo,
         first_normal=first_normal,
         prev_nee=prev_nee,
+        prev_lnee=prev_lnee,
         prev_pcos=prev_pcos,
     )
     # Detached-sampling gradient estimator: path geometry (origins and

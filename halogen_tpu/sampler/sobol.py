@@ -40,10 +40,12 @@ DIM_ROUGH_REFLECTION = 2
 DIM_MATERIAL_BRDF = 3
 DIM_RUSSIAN_ROULETTE = 4
 BOUNCE_DIM_STRIDE = 5
-# Envmap next-event estimation lives in a disjoint dimension band so the
+# Next-event estimation lives in disjoint dimension bands so the
 # reference's 5-events-per-bounce stream (above) is untouched whether or not
 # NEE is enabled. Dimensions are hash-padded, so any distinct ids work.
 DIM_ENV_NEE_BASE = 1 << 16
+DIM_LIGHT_NEE_SEL = 1 << 17  # emissive-tri selection (1D)
+DIM_LIGHT_NEE_POINT = (1 << 17) + 1  # barycentric point (2D)
 
 _U32 = jnp.uint32
 

@@ -167,6 +167,14 @@ class Scene:
 
             wbvh = pack_world_bvh(tv_world_cat, max_leaf=max_leaf)
 
+        from halogen_tpu.scene.lights import build_light_table
+
+        lights, tri_light_pdf = build_light_table(
+            tv_world_cat,
+            cat(tri_mat, (0,), np.int32),
+            np.asarray(mat_table.emissive),
+        )
+
         env_mips: Tuple[jnp.ndarray, ...] = ()
         env_cdf = None
         if envmap is not None:
@@ -202,6 +210,8 @@ class Scene:
             materials=mat_table,
             env_mips=env_mips,
             env_cdf=env_cdf,
+            lights=lights,
+            tri_light_pdf_area=jnp.asarray(tri_light_pdf),
             wbvh=wbvh,
         )
 
