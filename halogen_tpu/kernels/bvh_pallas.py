@@ -246,13 +246,16 @@ def _traverse_kernel(nodes_ref, tris_ref, o_ref, d_ref, seed_ref,
     bt_ref[0, 0] = bt
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_sub"))
 def traverse_world_bvh(
     wbvh: WorldBVH,
     origin: jnp.ndarray,  # [N, 3]
     direction: jnp.ndarray,  # [N, 3]
     t_seed: jnp.ndarray,  # [N] best-t seed (min(far, sphere hit))
     interpret: bool = False,
+    block_sub: int = RAY_SUB,  # sublane rows per block (rays = 128*this);
+    # larger blocks amortize the per-node scalar control over more rays at
+    # some coherence cost
 ):
     """Closest-hit over the world BVH for N rays.
 
@@ -261,34 +264,31 @@ def traverse_world_bvh(
     map through `wbvh.tri_map` for the global triangle id.
     """
     n = origin.shape[0]
-    nb = -(-n // BLOCK_RAYS)
-    pad = nb * BLOCK_RAYS - n
+    block_rays = block_sub * RAY_LANE
+    nb = -(-n // block_rays)
+    pad = nb * block_rays - n
 
     def shape_rays(x, fill):
         x = jnp.concatenate(
             [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
         ) if pad else x
-        if x.ndim == 2:  # [N, 3] -> [nb, 1, 3, 8, 128]
-            return x.T.reshape(3, nb, RAY_SUB, RAY_LANE).transpose(1, 0, 2, 3).reshape(nb, 1, 3, RAY_SUB, RAY_LANE)
-        return x.reshape(nb, 1, RAY_SUB, RAY_LANE)
+        if x.ndim == 2:  # [N, 3] -> [nb, 1, 3, S, 128]
+            return x.T.reshape(3, nb, block_sub, RAY_LANE).transpose(1, 0, 2, 3).reshape(nb, 1, 3, block_sub, RAY_LANE)
+        return x.reshape(nb, 1, block_sub, RAY_LANE)
 
     o = shape_rays(origin, 0.0)
     d = shape_rays(direction, 1.0)
     seed = shape_rays(t_seed, -1.0)  # pad rays: best_t<0 -> nothing hits
 
+    f32, i32 = jnp.float32, jnp.int32
     out_shape = [
-        jax.ShapeDtypeStruct((nb, 1, RAY_SUB, RAY_LANE), jnp.float32),  # t
-        jax.ShapeDtypeStruct((nb, 1, RAY_SUB, RAY_LANE), jnp.int32),  # tri
-        jax.ShapeDtypeStruct((nb, 1, RAY_SUB, RAY_LANE), jnp.float32),  # u
-        jax.ShapeDtypeStruct((nb, 1, RAY_SUB, RAY_LANE), jnp.float32),  # v
-        jax.ShapeDtypeStruct((nb, 1, RAY_SUB, RAY_LANE), jnp.float32),  # s
-        jax.ShapeDtypeStruct((nb, 1, RAY_SUB, RAY_LANE), jnp.int32),  # tt
-        jax.ShapeDtypeStruct((nb, 1, RAY_SUB, RAY_LANE), jnp.int32),  # bt
+        jax.ShapeDtypeStruct((nb, 1, block_sub, RAY_LANE), dt)
+        for dt in (f32, i32, f32, f32, f32, i32, i32)
     ]
-    ray_spec = pl.BlockSpec((1, 1, 3, RAY_SUB, RAY_LANE),
+    ray_spec = pl.BlockSpec((1, 1, 3, block_sub, RAY_LANE),
                             lambda i: (i, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    flat_spec = pl.BlockSpec((1, 1, RAY_SUB, RAY_LANE),
+    flat_spec = pl.BlockSpec((1, 1, block_sub, RAY_LANE),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -311,7 +311,7 @@ def traverse_world_bvh(
     )(wbvh.nodes, wbvh.tris, o, d, seed)
 
     def unshape(x):
-        return x.reshape(nb * BLOCK_RAYS)[:n]
+        return x.reshape(nb * block_rays)[:n]
 
     t, tri, u, v, s, tt, bt = (unshape(x) for x in outs)
     return t, tri, u, v, s, tt, bt
