@@ -24,8 +24,6 @@ counters for the debug heatmaps (compute:192-193).
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

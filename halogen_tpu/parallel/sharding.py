@@ -29,13 +29,22 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8 top-level API; experimental path is deprecated
+    from jax import shard_map as _shard_map
+
+    def shard_map(f=None, **kw):  # adapt: check_rep was renamed check_vma
+        if "check_rep" in kw:
+            kw["check_vma"] = kw.pop("check_rep")
+        return _shard_map(f, **kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from halogen_tpu.config import RenderSettings
 from halogen_tpu.core.types import SceneData
