@@ -113,6 +113,29 @@ def make_optimizer(lr: float = 5e-2):
     return optax.adam(lr)
 
 
+def project_material_params(params: dict) -> dict:
+    """Clamp a float-material param dict to physical ranges (the inspector
+    ranges of HalogenMaterial, RayTracingManager.cs:7-38). Keeps gradient
+    descent from leaving the domain where the estimator is stable (negative
+    albedo flips Russian-roulette weights into 1/p explosions)."""
+    p = dict(params)
+    if "albedo" in p:
+        p["albedo"] = jnp.clip(p["albedo"], 0.0, 1.0)
+    if "specular" in p:
+        p["specular"] = jnp.clip(p["specular"], 0.0, 1.0)
+    if "metallic" in p:
+        p["metallic"] = jnp.clip(p["metallic"], 0.0, 1.0)
+    if "roughness" in p:
+        p["roughness"] = jnp.clip(p["roughness"], 0.0, 1.0)
+    if "ior" in p:
+        p["ior"] = jnp.clip(p["ior"], 1.0, 8.0)
+    if "absorption" in p:
+        p["absorption"] = jnp.maximum(p["absorption"], 0.0)
+    if "emissive" in p:
+        p["emissive"] = jnp.maximum(p["emissive"], 0.0)
+    return p
+
+
 def save_fit_state(path: str, params, opt_state, step: int):
     """Checkpoint an optimization run (SURVEY.md §5.4 applied to inverse
     rendering): flat leaves of (params, opt_state) + step counter, npz."""
@@ -180,6 +203,12 @@ def fit_materials(
         )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # Projected gradient descent: stay inside the physical domain.
+        params["material_params"] = project_material_params(
+            params["material_params"])
+        if "env_mips" in params:
+            params["env_mips"] = tuple(
+                jnp.maximum(m, 0.0) for m in params["env_mips"])
         return params, opt_state, loss
 
     start = 0

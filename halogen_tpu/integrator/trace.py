@@ -230,10 +230,13 @@ def _pool_bounce(
     # lobes keep plain BRDF sampling with weight 1.
     diffuse_lane = shade_mask & (mat.metallic <= 0.0) & (mat.alpha >= 1.0)
     if use_nee or use_lnee:
-        # cosine pdf of the chosen continuation direction (shared MIS state)
-        new_pcos = jnp.maximum(
+        # cosine pdf of the chosen continuation direction (shared MIS
+        # state). stop_gradient: MIS weights belong to the detached sampling
+        # strategy — and new_dir's dependence on roughness/ior runs through
+        # refract/normalize whose backward blows up at kinks (sqrt(0)).
+        new_pcos = jax.lax.stop_gradient(jnp.maximum(
             jnp.sum(hit.normal * new_dir, axis=-1), 0.0
-        ) * np.float32(1.0 / np.pi)
+        ) * np.float32(1.0 / np.pi))
         prev_pcos = jnp.where(
             diffuse_lane & (shaded.bounce_type == 0), new_pcos, 0.0)
     else:

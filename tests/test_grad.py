@@ -123,3 +123,24 @@ def test_fit_materials_converges():
     assert losses[-1] < losses[0] * 0.25
     em = np.asarray(params["materials"].emissive)
     assert em[:, 3].max() * em[:, :3].max() > 1.2
+
+
+def test_grads_finite_with_light_nee():
+    """Regression: gradients through the light-NEE path must stay finite —
+    MIS pdf state is detached (it once routed cotangents through
+    refract/normalize kinks and NaN'd the fit)."""
+    scene = cornell.cornell_box().build()
+    st = ST.replace(light_importance_sampling=True)
+    mats = scene.materials
+    pert = dataclasses.replace(
+        mats, albedo=jnp.clip(mats.albedo * 0.3 + 0.4, 0, 1),
+        emissive=mats.emissive * 0.4)
+    sc = dataclasses.replace(scene, materials=pert)
+    target = jnp.zeros((st.height, st.width, 3), jnp.float32)
+    for frame in (1, 2, 3):
+        loss, grads = render_loss_grad({"materials": pert}, sc, CAM, st,
+                                       target, frame)
+        assert np.isfinite(float(loss))
+        for leaf in jax.tree.leaves(grads):
+            if leaf.dtype != jax.dtypes.float0:
+                assert np.isfinite(np.asarray(leaf)).all()

@@ -65,3 +65,15 @@ def test_unlimited_sampling_never_done():
     for _ in range(ST.max_accumulated_frames + 2):
         r.step()
     assert not r.done
+
+
+def test_accumulate_off_pins_sample_stream():
+    """accumulate=False pins the sample index to 1 — static noise across
+    frames (the reference's Accumulate toggle, HalogenRenderPass.cs:378)."""
+    scene = cornell.cornell_box().build()
+    st = ST.replace(accumulate=False)
+    r = ht.Renderer(scene, CAM, st)
+    a = r.step()
+    b = r.step()
+    np.testing.assert_array_equal(a, b)
+    assert int(r.state.frame_count) == 1
