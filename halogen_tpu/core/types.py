@@ -106,6 +106,7 @@ class SceneData:
     # selection_prob/area for emissive triangles, 0 elsewhere.
     lights: object = None
     tri_light_pdf_area: jnp.ndarray = None
+    sphere_light_sel: jnp.ndarray = None  # [S] selection prob, 0 non-emissive
 
     # Global world-space BVH packed for the Pallas traversal kernel
     # (kernels/bvh_pallas.WorldBVH NamedTuple), or None. Unlike the
@@ -138,3 +139,4 @@ class HitRecord:
     orientation: jnp.ndarray  # [N] +1 front / -1 back
     material: jnp.ndarray  # [N] int32 material index
     tri: jnp.ndarray  # [N] int32 global triangle index, -1 for sphere/miss
+    sphere: jnp.ndarray  # [N] int32 sphere index, -1 for triangle/miss

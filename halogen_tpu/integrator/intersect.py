@@ -172,9 +172,11 @@ def _sphere_normal_material(scene, pos, sp_i, sp_orient):
 def _sphere_only_hit(scene, origin, direction, sp_t, sp_i, sp_orient):
     pos = _hit_pos(origin, direction, sp_t)
     normal, material = _sphere_normal_material(scene, pos, sp_i, sp_orient)
+    sp_hit = sp_t < INF
     return HitRecord(t=sp_t, pos=pos, normal=normal,
                      orientation=sp_orient, material=material,
-                     tri=jnp.full(sp_t.shape, -1, jnp.int32))
+                     tri=jnp.full(sp_t.shape, -1, jnp.int32),
+                     sphere=jnp.where(sp_hit, sp_i, -1))
 
 
 def intersect_brute(
@@ -215,7 +217,8 @@ def intersect_brute(
 
     hit = HitRecord(t=t, pos=pos, normal=normal,
                     orientation=orientation, material=material,
-                    tri=jnp.where(mesh_wins, tr_i, -1))
+                    tri=jnp.where(mesh_wins, tr_i, -1),
+                    sphere=jnp.where((~mesh_wins) & (sp_t < INF), sp_i, -1))
     tri_tests = jnp.full((n,), scene.num_triangles, jnp.int32)
     box_tests = jnp.zeros((n,), jnp.int32)
     return hit, tri_tests, box_tests
@@ -383,7 +386,8 @@ def intersect_bvh(
     )
     hit = HitRecord(t=t, pos=pos, normal=normal,
                     orientation=orientation, material=material,
-                    tri=jnp.where(mesh_wins, best["tri"], -1))
+                    tri=jnp.where(mesh_wins, best["tri"], -1),
+                    sphere=jnp.where((~mesh_wins) & (sp_t < INF), sp_i, -1))
     return hit, tri_tests, box_tests
 
 
@@ -480,7 +484,8 @@ def intersect_pallas(
     material = jnp.where(mesh_wins, scene.tri_material[tri], sph_material)
     hit = HitRecord(t=t_final, pos=pos, normal=normal,
                     orientation=orientation, material=material,
-                    tri=jnp.where(mesh_wins, tri, -1))
+                    tri=jnp.where(mesh_wins, tri, -1),
+                    sphere=jnp.where((~mesh_wins) & (sp_t < INF), sp_i, -1))
     return hit, tt, bt
 
 

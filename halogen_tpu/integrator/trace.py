@@ -49,7 +49,7 @@ from halogen_tpu.scene.envmap import (
     sample_env,
     sample_env_direction,
 )
-from halogen_tpu.scene.lights import sample_light_point
+from halogen_tpu.scene.lights import sample_light, sphere_cone_pdf
 
 
 def _sampler_2d(settings: RenderSettings):
@@ -185,6 +185,7 @@ def _pool_bounce(
     emission = mat.emissive_rgb * mat.emissive_intensity[:, None]
     em_w = jnp.ones((n,), jnp.float32)
     if use_lnee:
+        # triangle emitters: area pdf -> solid angle at this hit
         pdf_area_hit = jnp.where(
             hit.tri >= 0,
             scene.tri_light_pdf_area[jnp.maximum(hit.tri, 0)], 0.0)
@@ -192,6 +193,15 @@ def _pool_bounce(
         t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
         pdf_sa_hit = pdf_area_hit * t_safe * t_safe / jnp.maximum(
             cos_hit, 1e-6)
+        # sphere emitters: cone-sampling pdf from the previous origin
+        if scene.num_spheres:
+            sp = jnp.maximum(hit.sphere, 0)
+            sph_pdf = sphere_cone_pdf(
+                scene.sphere_light_sel[sp],
+                scene.sphere_center[sp], scene.sphere_radius[sp],
+                carry.origin,
+            )
+            pdf_sa_hit = jnp.where(hit.sphere >= 0, sph_pdf, pdf_sa_hit)
         w_cont = carry.prev_pcos / jnp.maximum(
             carry.prev_pcos + pdf_sa_hit, 1e-12)
         em_w = jnp.where(carry.prev_lnee & (pdf_sa_hit > 0.0), w_cont, em_w)
@@ -272,36 +282,88 @@ def _pool_bounce(
         color = color + jnp.where((cand & visible)[:, None], contrib, 0.0)
         prev_nee = nee_lane & (shaded.bounce_type == 0)
 
-    # --- area-light next-event estimation + MIS (see scene/lights.py).
-    # Same diffuse-lane restriction and balance heuristic as envmap NEE.
+    # --- area-light next-event estimation + MIS (see scene/lights.py):
+    # one emissive triangle OR sphere per diffuse bounce, chosen by the
+    # power CDF. Same diffuse-lane restriction and balance heuristic as
+    # envmap NEE.
     if use_lnee:
         u_sel = s1(sample_idx, jnp.uint32(sob.DIM_LIGHT_NEE_SEL) + stride,
                    seed)
         pu, pv = s2(sample_idx, jnp.uint32(sob.DIM_LIGHT_NEE_POINT) + stride,
                     seed)
-        lpos, lgn, pdf_area, ltri = sample_light_point(
-            scene.lights, scene.tri_verts_world, u_sel, pu, pv)
-        wi_vec = lpos - hit.pos
+        ls = sample_light(scene.lights, scene, u_sel, pu, pv)
+        is_tri = ls["kind"] == 0
+
+        # triangle branch: direction to the sampled surface point
+        wi_vec = ls["tri_point"] - hit.pos
         d2 = jnp.sum(wi_vec * wi_vec, axis=-1)
-        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
-        wi = wi_vec / dist[:, None]
+        dist_t = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        wi_t = wi_vec / dist_t[:, None]
+        gn_hat = ls["gn"] / jnp.maximum(
+            jnp.linalg.norm(ls["gn"], axis=-1, keepdims=True), 1e-12)
+        cos_l = jnp.abs(jnp.sum(gn_hat * wi_t, axis=-1))
+        pdf_sa_t = ls["pdf_area"] * d2 / jnp.maximum(cos_l, 1e-6)
+        ok_t = (cos_l > 1e-4) & (ls["pdf_area"] > 0.0) \
+            & (ls["idx"] != hit.tri)
+
+        # sphere branch: uniform direction in the subtended cone
+        dvec = ls["center"] - hit.pos
+        dc2 = jnp.sum(dvec * dvec, axis=-1)
+        dc = jnp.sqrt(jnp.maximum(dc2, 1e-12))
+        dhat = dvec / dc[:, None]
+        sin2max = ls["radius"] ** 2 / jnp.maximum(dc2, 1e-12)
+        outside = sin2max < 1.0
+        cos_max = jnp.sqrt(jnp.clip(1.0 - sin2max, 0.0, 1.0))
+        cos_th = 1.0 - pu * (1.0 - cos_max)
+        sin_th = jnp.sqrt(jnp.clip(1.0 - cos_th * cos_th, 0.0, 1.0))
+        phi = pv * np.float32(2.0 * np.pi)
+        # orthonormal basis around dhat
+        up = jnp.where((jnp.abs(dhat[:, 1:2]) < 0.9),
+                       jnp.asarray([[0.0, 1.0, 0.0]]),
+                       jnp.asarray([[1.0, 0.0, 0.0]]))
+        tang = jnp.cross(up, dhat)
+        tang = tang / jnp.maximum(
+            jnp.linalg.norm(tang, axis=-1, keepdims=True), 1e-12)
+        bitan = jnp.cross(dhat, tang)
+        wi_s = (dhat * cos_th[:, None]
+                + tang * (sin_th * jnp.cos(phi))[:, None]
+                + bitan * (sin_th * jnp.sin(phi))[:, None])
+        solid = np.float32(2.0 * np.pi) * (1.0 - cos_max)
+        pdf_sa_s = ls["sel"] / jnp.maximum(solid, 1e-12)
+        # distance to the sphere surface along wi_s
+        proj = dc * cos_th
+        under = ls["radius"] ** 2 - dc2 * sin_th * sin_th
+        dist_s = proj - jnp.sqrt(jnp.clip(under, 0.0, None))
+        ok_s = outside & (solid > 1e-12) & (ls["idx"] != hit.sphere)
+
+        km = is_tri[:, None]
+        wi = jnp.where(km, wi_t, wi_s)
+        dist = jnp.where(is_tri, dist_t, dist_s)
+        pdf_sa = jnp.where(is_tri, pdf_sa_t, pdf_sa_s)
+        ok = jnp.where(is_tri, ok_t, ok_s)
         cos_s = jnp.sum(hit.normal * wi, axis=-1)
-        gn_hat = lgn / jnp.maximum(
-            jnp.linalg.norm(lgn, axis=-1, keepdims=True), 1e-12)
-        cos_l = jnp.abs(jnp.sum(gn_hat * wi, axis=-1))
-        cand_l = (diffuse_lane & (cos_s > 0.0) & (cos_l > 1e-4)
-                  & (pdf_area > 0.0) & (ltri != hit.tri))
-        # shadow ray clipped just short of the light point so the light
-        # triangle itself does not occlude
-        sh_far = dist * np.float32(1.0 - 1e-3)
+        cand_l = diffuse_lane & ok & (cos_s > 0.0)
+
+        # shadow ray: visible iff nothing sits in front of the light —
+        # the closest hit is the sampled light itself (or beyond the
+        # sampled point, for grazing shared-edge cases on tri lights)
         sh_origin = hit.pos + hit.normal * 1e-4
-        lsh_hit, _, _ = intersect_scene(scene, sh_origin, wi, sh_far,
-                                        settings)
-        visible_l = lsh_hit.t >= sh_far
-        lmat_id = scene.tri_material[jnp.maximum(ltri, 0)]
+        lsh_hit, _, _ = intersect_scene(scene, sh_origin, wi, far, settings)
+        hit_self = jnp.where(
+            is_tri, lsh_hit.tri == ls["idx"], lsh_hit.sphere == ls["idx"])
+        visible_l = hit_self | (lsh_hit.t >= dist * np.float32(1.0 - 1e-3))
+
+        lmat_id = jnp.where(
+            is_tri,
+            scene.tri_material[jnp.maximum(jnp.where(is_tri, ls["idx"], 0),
+                                           0)]
+            if scene.num_triangles else 0,
+            scene.sphere_material[jnp.maximum(
+                jnp.where(is_tri, 0, ls["idx"]), 0)]
+            if scene.num_spheres else 0,
+        )
         l_em = (scene.materials.emissive[lmat_id, :3]
                 * scene.materials.emissive[lmat_id, 3][:, None])
-        pdf_sa = pdf_area * d2 / jnp.maximum(cos_l, 1e-6)
         p_cos_l = cos_s * np.float32(1.0 / np.pi)
         w_l = pdf_sa / jnp.maximum(pdf_sa + p_cos_l, 1e-12)
         f_cos_l = mat.albedo * (cos_s * np.float32(1.0 / np.pi))[:, None]

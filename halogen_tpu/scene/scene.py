@@ -169,9 +169,10 @@ class Scene:
 
         from halogen_tpu.scene.lights import build_light_table
 
-        lights, tri_light_pdf = build_light_table(
+        lights, tri_light_pdf, sphere_light_sel = build_light_table(
             tv_world_cat,
             cat(tri_mat, (0,), np.int32),
+            s_center, s_radius, s_mat,
             np.asarray(mat_table.emissive),
         )
 
@@ -212,6 +213,7 @@ class Scene:
             env_cdf=env_cdf,
             lights=lights,
             tri_light_pdf_area=jnp.asarray(tri_light_pdf),
+            sphere_light_sel=jnp.asarray(sphere_light_sel),
             wbvh=wbvh,
         )
 

@@ -19,7 +19,8 @@ def test_light_table_built():
     scene = cornell.cornell_box().build()
     assert scene.lights is not None
     # the panel's 2 triangles are the only emitters
-    assert scene.lights.tri.shape[0] == 2
+    assert scene.lights.idx.shape[0] == 2
+    assert (np.asarray(scene.lights.kind) == 0).all()
     assert float(scene.tri_light_pdf_area.max()) > 0
 
 
@@ -92,3 +93,44 @@ def test_wavefront_parity_with_light_nee():
     a = np.asarray(ht.render_frame(scene, CAM, st, 1))
     b = np.asarray(ht.render_frame(scene, CAM, st.replace(wavefront=True), 1))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sphere_emitter_nee():
+    """Emissive SPHERE (the reference's Glow Orbs case): NEE on/off must
+    agree in expectation, and NEE must cut low-spp error."""
+    s = Scene()
+    # dim box room lit by one small bright orb
+    from halogen_tpu.scene.cornell import cornell_box
+    sb = cornell_box(light_intensity=0.0, with_spheres=False)
+    sb.add_sphere((0.0, 0.5, 0.0), 0.12, Material.emissive((1, 1, 1), 40.0))
+    scene = sb.build()
+    lo = BASE.replace(samples_per_pixel=4, max_bounces=3)
+    nee = np.asarray(ht.render_frame(
+        scene, CAM, lo.replace(light_importance_sampling=True), 1))
+    brdf = np.asarray(ht.render_frame(scene, CAM, lo, 1))
+    hi = lo.replace(samples_per_pixel=96, light_importance_sampling=True)
+    ref = np.mean([np.asarray(ht.render_frame(scene, CAM, hi, f))
+                   for f in range(1, 3)], axis=0)
+    assert np.isfinite(nee).all()
+    err_nee = np.abs(nee - ref).mean()
+    err_brdf = np.abs(brdf - ref).mean()
+    assert err_nee < err_brdf * 0.8, (err_nee, err_brdf)
+    # unbiasedness at high spp
+    hi_brdf = np.asarray(ht.render_frame(
+        scene, CAM, lo.replace(samples_per_pixel=96), 1))
+    assert abs(hi_brdf.mean() - ref.mean()) / ref.mean() < 0.1
+
+
+def test_mixed_tri_and_sphere_lights():
+    """Panel + orb together: the power CDF covers both; image stays
+    unbiased vs BRDF-only."""
+    sb = cornell.cornell_box(light_intensity=5.0, with_spheres=False)
+    sb.add_sphere((0.5, -0.5, 0.3), 0.15, Material.emissive((1, 0.3, 0.1), 20.0))
+    scene = sb.build()
+    assert scene.lights is not None and scene.lights.kind.shape[0] == 3
+    st = BASE.replace(samples_per_pixel=64, max_bounces=3)
+    a = np.asarray(ht.render_frame(scene, CAM, st, 1))
+    b = np.asarray(ht.render_frame(
+        scene, CAM, st.replace(light_importance_sampling=True), 1))
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.08, (a.mean(), b.mean())
