@@ -101,6 +101,57 @@ def glass_sphere_box(absorption: float = 1.0) -> Scene:
     return s
 
 
+def fresnel_spheres(n: int = 5) -> Scene:
+    """IOR sweep 1.0 -> 2.4 of clear glass spheres over a checker-ish
+    floor (the Fresnel Spheres group)."""
+    s = Scene()
+    floor = Material.diffuse((0.6, 0.6, 0.6))
+    _quad(s, [(-10, -1, -10), (10, -1, -10), (10, -1, 10), (-10, -1, 10)],
+          floor)
+    for i in range(n):
+        ior = 1.0 + 1.4 * i / max(n - 1, 1)
+        s.add_sphere((i * 1.2 - (n - 1) * 0.6, -0.5, 0.0), 0.5,
+                     Material.glass(ior=ior, priority=0))
+    return s
+
+
+def scale_demo(scales=(0.25, 0.5, 1.0, 2.0)) -> Scene:
+    """The same mesh instanced at different non-uniform scales — exercises
+    per-mesh transforms incl. the inverse-transpose normal path (the
+    reference's Scale Demo group)."""
+    s = Scene()
+    floor = Material.diffuse((0.55, 0.55, 0.55))
+    _quad(s, [(-12, -1, -12), (12, -1, -12), (12, -1, 12), (-12, -1, 12)],
+          floor)
+    from halogen_tpu.scene.meshes import icosphere
+
+    v, f = icosphere(2)
+    mat = Material.diffuse((0.2, 0.5, 0.8))
+    x = -3.0
+    for k, sc in enumerate(scales):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0] = sc
+        m[1, 1] = sc * 0.6  # non-uniform: stresses normal transform
+        m[2, 2] = sc
+        m[:3, 3] = (x + sc, sc * 0.6 - 1.0, 0.0)
+        x += 2.2 * sc
+        s.add_mesh(v, f, mat, transform=m)
+    return s
+
+
+def glow_orbs(n: int = 4) -> Scene:
+    """Dark room lit only by emissive spheres (the Glow Orbs group)."""
+    s = cornell_box(light_intensity=0.0, with_spheres=False)
+    colors = [(1.0, 0.4, 0.1), (0.2, 0.8, 1.0), (0.9, 0.1, 0.8),
+              (0.4, 1.0, 0.3)]
+    rng = np.random.default_rng(3)
+    for i in range(n):
+        p = rng.uniform(-0.7, 0.7, size=3)
+        s.add_sphere((float(p[0]), float(p[1]), float(p[2])), 0.12,
+                     Material.emissive(colors[i % len(colors)], 12.0))
+    return s
+
+
 def transparency_spheres() -> Scene:
     """Row of spheres sweeping opacity 1 -> 0 (Transparency Spheres group)."""
     s = Scene()

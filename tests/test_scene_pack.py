@@ -97,3 +97,44 @@ def test_scene_without_envmap_has_no_tables():
     sc = s.build()
     assert sc.env_mips == ()
     assert sc.env_cdf is None
+
+
+def test_feature_matrix_scenes_render():
+    """Every reference test-scene group constructor builds and renders
+    finite images (the feature-matrix sandbox, SURVEY.md §2 assets)."""
+    import jax.numpy as jnp
+    import halogen_tpu as ht
+    from halogen_tpu.scene import cornell
+
+    cam = ht.make_camera(position=(0, 1.0, 5.0), target=(0, -0.3, 0),
+                         fov_deg=45)
+    st = ht.RenderSettings(width=12, height=12, samples_per_pixel=1,
+                           max_bounces=2, ray_chunk_size=144,
+                           use_envmap=True)
+    for ctor in (cornell.material_demo_spheres, cornell.fresnel_spheres,
+                 cornell.scale_demo, cornell.glow_orbs,
+                 cornell.transparency_spheres):
+        scene = ctor().build(envmap=Envmap.gradient_sky())
+        img = np.asarray(ht.render_frame(scene, cam, st, 1))
+        assert np.isfinite(img).all(), ctor.__name__
+
+
+def test_scale_demo_normals_correct():
+    """Non-uniformly scaled mesh normals stay unit-length outward
+    (inverse-transpose path)."""
+    import halogen_tpu as ht
+    from halogen_tpu.config import DebugMode
+    from halogen_tpu.scene import cornell
+
+    scene = cornell.scale_demo().build()
+    cam = ht.make_camera(position=(0, 1.5, 6.0), target=(0, -0.5, 0),
+                         fov_deg=45)
+    st = ht.RenderSettings(width=24, height=24, samples_per_pixel=1,
+                           max_bounces=0, ray_chunk_size=576,
+                           debug_mode=DebugMode.NORMAL)
+    img = np.asarray(ht.render_frame(scene, cam, st, 1))
+    hit = img.sum(-1) > 1e-6  # sky (no envmap) renders exactly black
+    assert hit.any()
+    n = img * 2.0 - 1.0  # decode normals
+    lens = np.linalg.norm(n, axis=-1)
+    np.testing.assert_allclose(lens[hit], 1.0, atol=1e-2)
