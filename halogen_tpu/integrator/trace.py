@@ -14,8 +14,13 @@ Two schedulers share one bounce implementation (`_pool_bounce`):
   SURVEY.md §2 #14 design — per bounce, the pool is compacted (active rays
   sorted to the front) and a `lax.while_loop` with a data-dependent trip
   count processes only the live blocks. Deep-bounce scenes with Russian
-  roulette stop paying for dead lanes. Forward-only (while_loop has no
-  transpose); training uses the lockstep path.
+  roulette stop paying for dead lanes. The raw while_loop has no transpose,
+  so the public path routes through `trace_rays_wavefront_diff`: a
+  custom_vjp whose primal is the wavefront forward and whose backward is
+  the vjp of the lockstep tracer — valid because the two schedulers are
+  bit-identical per ray (asserted by tests/test_wavefront.py), and exactly
+  the path-replay decomposition (the backward re-traces from the saved
+  inputs rather than storing the path).
 
 Semantics preserved (trace_ray, compute:876-950):
 - per-ray-type bounce limits checked at loop top with `>` (compute:869-871)
@@ -30,6 +35,7 @@ Semantics preserved (trace_ray, compute:876-950):
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -580,6 +586,55 @@ def trace_rays_wavefront(
     return TraceOut(*(unscatter(x) for x in _pool_out(pool)))
 
 
+@functools.lru_cache(maxsize=None)
+def _diff_wavefront(settings: RenderSettings):
+    """custom_vjp wrapper keyed on (hashable) settings: wavefront forward,
+    lockstep path-replay backward. Residuals are the call inputs only —
+    the backward pass re-traces (replays) every path, so memory stays
+    O(ray batch) exactly like the checkpointed lockstep scan."""
+
+    @jax.custom_vjp
+    def traced(scene, origin, direction, far, sample_idx, seed):
+        return trace_rays_wavefront(
+            scene, origin, direction, far, sample_idx, seed, settings)
+
+    def fwd(scene, origin, direction, far, sample_idx, seed):
+        out = traced(scene, origin, direction, far, sample_idx, seed)
+        return out, (scene, origin, direction, far, sample_idx, seed)
+
+    def bwd(res, ct):
+        scene, origin, direction, far, sample_idx, seed = res
+        _, vjp = jax.vjp(
+            lambda sc, o, d: trace_rays(
+                sc, o, d, far, sample_idx, seed, settings),
+            scene, origin, direction,
+        )
+        d_scene, d_o, d_d = vjp(ct)
+        f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        return (d_scene, d_o, d_d, jnp.zeros_like(far), f0(sample_idx),
+                f0(seed))
+
+    traced.defvjp(fwd, bwd)
+    return traced
+
+
+def trace_rays_wavefront_diff(
+    scene: SceneData,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    far: jnp.ndarray,
+    sample_idx: jnp.ndarray,
+    seed: jnp.ndarray,
+    settings: RenderSettings,
+) -> TraceOut:
+    """Differentiable wavefront tracer (see module docstring): forward runs
+    the compacted-block scheduler, reverse-mode runs the lockstep replay.
+    Gradients are identical to `trace_rays`' because the two schedulers
+    produce bit-identical primals."""
+    return _diff_wavefront(settings)(
+        scene, origin, direction, far, sample_idx, seed)
+
+
 def _debug_color(out: TraceOut, scene, direction, far, settings) -> jnp.ndarray:
     """Debug views (trace_ray_debug*, compute:819-863,952-982)."""
     mode = settings.debug_mode
@@ -634,7 +689,7 @@ def render_pixels(
     py = pix // w
     seed = sob.pixel_seed(pix.astype(jnp.uint32))
     far = jnp.broadcast_to(camera.far, (n,))
-    tracer = trace_rays_wavefront if settings.wavefront else trace_rays
+    tracer = trace_rays_wavefront_diff if settings.wavefront else trace_rays
 
     def spp_body(acc, s):
         sidx = sob.sample_index(frame, jnp.uint32(spp_offset) + s,

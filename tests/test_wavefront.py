@@ -42,6 +42,29 @@ def test_wavefront_block_size_invariance():
     np.testing.assert_array_equal(a, b)
 
 
+def test_wavefront_gradients_match_lockstep():
+    """The custom_vjp wavefront path (wavefront forward, lockstep replay
+    backward) must yield the same loss AND gradients as lockstep."""
+    import jax
+    from halogen_tpu.diff.grad import render_loss_grad
+
+    scene = cornell.cornell_box().build()
+    st = ST.replace(samples_per_pixel=2, max_bounces=4)
+    target = ht.render_frame(scene, CAM, st, 7) * 0.8
+    params = {"materials": scene.materials}
+
+    loss_a, grads_a = render_loss_grad(params, scene, CAM, st, target, 1)
+    loss_b, grads_b = render_loss_grad(
+        params, scene, CAM, st.replace(wavefront=True), target, 1)
+
+    np.testing.assert_array_equal(np.asarray(loss_a), np.asarray(loss_b))
+    for ga, gb in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_b)):
+        if ga.dtype == jax.dtypes.float0:
+            continue
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_wavefront_nondivisible_pool():
     """Pool size not divisible by the block: padding must not leak."""
     scene = cornell.cornell_box().build()
