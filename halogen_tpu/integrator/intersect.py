@@ -401,7 +401,7 @@ def _ray_sort_keys(scene: SceneData, origin, direction) -> jnp.ndarray:
     world-BVH root bounds) below. Sorting bounce rays by this key groups
     rays that will traverse similar subtrees into the same 1024-ray block,
     which is what the shared-stack kernel's speculation model wants."""
-    root = scene.wbvh.nodes[0]
+    root = scene.wbvh.root  # [8] row: lo.xyz | hi.xyz (both packings)
     lo = root[0:3]
     inv_ext = 1.0 / jnp.maximum(root[3:6] - lo, 1e-6)
     q = jnp.clip(((origin - lo) * inv_ext * 127.0).astype(jnp.int32), 0, 127)
@@ -431,12 +431,16 @@ def intersect_pallas(
     block's shared traversal — the honest cost model for this kernel).
     Falls back to interpret mode off-TPU (slow; tests only).
 
+    Scenes beyond the VMEM-resident triangle cap arrive as a
+    ChunkedWorldBVH (see kernels/bvh_pallas.py) and run the kernel once
+    per spatial chunk with the best-t carried forward.
+
     sort_rays: permute rays by an octant+Morton coherence key before the
     kernel and unpermute the results — cheap XLA sort/gathers vs. the
     traversal, and it restores block coherence for bounce rays. The image
     is bit-identical either way (results return to their original lanes).
     """
-    from halogen_tpu.kernels.bvh_pallas import traverse_world_bvh
+    from halogen_tpu.kernels.bvh_pallas import traverse_world_bvh_any
 
     n = origin.shape[0]
     sp_t, sp_i, sp_orient = _intersect_spheres(scene, origin, direction, far)
@@ -454,20 +458,19 @@ def intersect_pallas(
     if sort_rays:
         order = jnp.argsort(_ray_sort_keys(scene, origin, direction))
         inv = jnp.argsort(order)
-        t, slot, u, v, s, tt, bt = traverse_world_bvh(
+        t, tri, u, v, s, tt, bt = traverse_world_bvh_any(
             scene.wbvh, origin[order], direction[order], seed[order],
             interpret=interpret,
         )
-        t, slot, u, v, s, tt, bt = (
-            x[inv] for x in (t, slot, u, v, s, tt, bt)
+        t, tri, u, v, s, tt, bt = (
+            x[inv] for x in (t, tri, u, v, s, tt, bt)
         )
     else:
-        t, slot, u, v, s, tt, bt = traverse_world_bvh(
+        t, tri, u, v, s, tt, bt = traverse_world_bvh_any(
             scene.wbvh, origin, direction, seed, interpret=interpret
         )
     t, u, v, s = (jax.lax.stop_gradient(x) for x in (t, u, v, s))
     mesh_wins = t < seed  # kernel already enforced t < seed
-    tri = scene.wbvh.tri_map[slot]
 
     t_final = jnp.where(mesh_wins, t, sp_t)
     pos = _hit_pos(origin, direction, t_final)

@@ -21,7 +21,16 @@ Design deviations from the reference (deliberate, documented):
 - Node ordering by block-aggregated entry distance, not per-ray.
 
 Layout contracts (packed by `pack_world_bvh`):
-- nodes  [Nn, 8] f32: lo.xyz | hi.xyz | index_a | count (ints exact in f32)
+- nodes  [R, 128] f32, 16 nodes per row: node with *padded id* p (builder
+  id + 1) occupies lanes (p%16)*8..+8 of row p//16 as [lo.xyz | hi.xyz |
+  index_a | count] (ints exact in f32). Why this shape: a [Nn, 8] layout
+  pads the 8-wide lane dim to 128 in VMEM (512 B/node — it was the real
+  VMEM ceiling); [R, 128] is a true 32 B/node AND keeps node reads cheap —
+  both builders allocate child pairs contiguously starting at odd ids, so
+  the +1 shift makes every pair start at an even padded id, and a pair's
+  16 scalars are one dynamically-indexed [1, 128] sublane row (unaligned
+  sublane slices are free) plus a single-vreg lane roll. Traversal pushes
+  (index_a, count) payloads so each node's fields are read exactly once.
 - tris   [16, Tp] f32: rows 0-2 v0, 3-5 e1, 6-8 e2 (Moller-Trumbore
   precomputation), Tp padded to 128 + MAX_LEAF with degenerate triangles
 - rays enter as [nb, 3, 8, 128] component-major blocks of 1024
@@ -50,27 +59,68 @@ INF = np.float32(np.inf)
 class WorldBVH(NamedTuple):
     """Device buffers for the Pallas traversal (see module docstring)."""
 
-    nodes: jnp.ndarray  # [Nn, 8] f32
+    nodes: jnp.ndarray  # [R, 128] f32, 16 nodes/row (see module docstring)
     tris: jnp.ndarray  # [16, Tp] f32
     tri_map: jnp.ndarray  # [Tp] i32: slot -> global world-triangle index
 
+    @property
+    def root(self) -> jnp.ndarray:
+        """Root node row [8]: lo.xyz | hi.xyz | index_a | count
+        (padded id 1 -> row 0, lanes 8..16)."""
+        return self.nodes[0, 8:16]
+
+
+class ChunkedWorldBVH(NamedTuple):
+    """Large-scene packing: the spatially-ordered triangle buffer is sliced
+    into VMEM-sized chunks, each with its own sub-BVH, and the resident
+    kernel runs once per chunk with the running best-t as the next chunk's
+    seed. This is the TPU answer to "scene doesn't fit on-chip": stream
+    whole resident blocks through VMEM with regular compute, instead of
+    emulating GPU pointer-chasing with per-leaf HBM DMAs (measured 4
+    orders of magnitude slower on v5e — latency-bound at ~2-5us/leaf).
+    Chunks are contiguous ranges of the global BVH's leaf order, so each is
+    spatially compact and most blocks kill most chunks at the root AABB."""
+
+    chunks: tuple[WorldBVH, ...]
+    root: jnp.ndarray  # [8] union root row (lo.xyz | hi.xyz | 0 | 0)
+
+
+# Scene buffers cost ~90 B/triangle in VMEM (64 B tris + ~26 B nodes,
+# single-buffered grid constants). Per-chunk budget ~47 MB; resident
+# fast-path ceiling ~71 MB — both under the 100 MB scoped-VMEM cap with
+# room for the ray-block pipeline.
+CHUNK_TRIS = 524288
+MAX_RESIDENT_TRIS = 786432
+
 
 def pack_world_bvh(tri_verts_world: np.ndarray, max_leaf: int = MAX_LEAF,
-                   max_depth: int = 32) -> WorldBVH:
-    """Build + pack the global world-space BVH (host side, numpy)."""
+                   max_depth: int = 32,
+                   tri_ids: np.ndarray | None = None) -> WorldBVH:
+    """Build + pack the global world-space BVH (host side, numpy).
+
+    tri_ids: optional global ids of the input triangles (for chunked
+    packing); tri_map then maps kernel slots to those ids."""
     from halogen_tpu.accel.bvh import build_bvh
 
     tv = np.asarray(tri_verts_world, np.float32)
     n = tv.shape[0]
     bvh = build_bvh(tv.copy(), max_leaf=max_leaf, max_depth=max_depth)
     order = bvh.tri_order  # slot -> original index
-    tv = tv[order]
+    if tri_ids is not None:
+        order = np.asarray(tri_ids, np.int64)[order]
+    tv = np.asarray(tri_verts_world, np.float32)[bvh.tri_order]
 
-    nodes = np.zeros((bvh.num_nodes, 8), np.float32)
-    nodes[:, 0:3] = bvh.lo
-    nodes[:, 3:6] = bvh.hi
-    nodes[:, 6] = bvh.index_a.astype(np.float32)
-    nodes[:, 7] = bvh.count.astype(np.float32)
+    nn = bvh.num_nodes
+    inner = bvh.count == 0
+    assert (bvh.index_a[inner] % 2 == 1).all(), (
+        "kernel layout requires child pairs at odd builder ids")
+    rows = (nn + 1 + 15) // 16
+    flat = np.zeros((rows * 16, 8), np.float32)  # padded-id indexed
+    flat[1:nn + 1, 0:3] = bvh.lo
+    flat[1:nn + 1, 3:6] = bvh.hi
+    flat[1:nn + 1, 6] = bvh.index_a.astype(np.float32)
+    flat[1:nn + 1, 7] = bvh.count.astype(np.float32)
+    nodes = flat.reshape(rows, 128)
 
     # +2 lanes-wide slack: the kernel loads a 128-aligned 256-wide window
     # around each leaf and rotates it into place (Mosaic requires lane-dim
@@ -102,13 +152,25 @@ def _traverse_kernel(nodes_ref, tris_ref, o_ref, d_ref, seed_ref,
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-    def slab(row, best_t):
-        """Block slab test vs one node row [1, 8]. Returns (entry, hit).
+    def pair_window(child_a):
+        """Rolled [1, 128] row holding the child pair of an inner node:
+        child A's 8 fields at lanes 0..8, child B's at 8..16.
 
-        Scalar extraction (row[0, c]) rather than [1,1] slices: Mosaic
-        broadcasts scalars to (8,128) tiles but not 2D unit vectors."""
-        lo_x, lo_y, lo_z = row[0, 0], row[0, 1], row[0, 2]
-        hi_x, hi_y, hi_z = row[0, 3], row[0, 4], row[0, 5]
+        Both builders allocate pairs at odd ids, so the padded id
+        (child_a + 1) is even and the pair never straddles a row; the
+        dynamic sublane index is free and the lane roll is one vreg."""
+        pid = child_a + 1
+        row = nodes_ref[pl.ds(pid // 16, 1), :]  # [1, 128]
+        lane = (pid % 16) * 8
+        return pltpu.roll(row, -lane, axis=1)
+
+    def slab(w, lane, best_t):
+        """Block slab test vs the node at lane offset `lane` of a rolled
+        pair row. Returns (entry, hit). Scalar extraction (w[0, lane+c])
+        rather than [1,1] slices: Mosaic broadcasts scalars to (8,128)
+        tiles but not 2D unit vectors."""
+        lo_x, lo_y, lo_z = w[0, lane + 0], w[0, lane + 1], w[0, lane + 2]
+        hi_x, hi_y, hi_z = w[0, lane + 3], w[0, lane + 4], w[0, lane + 5]
         t1x, t2x = (lo_x - ox) * ix, (hi_x - ox) * ix
         t1y, t2y = (lo_y - oy) * iy, (hi_y - oy) * iy
         t1z, t2z = (lo_z - oz) * iz, (hi_z - oz) * iz
@@ -162,7 +224,12 @@ def _traverse_kernel(nodes_ref, tris_ref, o_ref, d_ref, seed_ref,
             bs = jnp.where(valid, sgn, bs)
         return best_t, best_tri, bu, bv, bs
 
-    stack_ref[0] = 0  # push root
+    # The stack holds (index_a, count) payloads, not node ids: a child's
+    # payload is read from the row that slab-tested it, so every node's
+    # 8 values are loaded exactly once. Root = padded id 1, lanes 8..16.
+    root = nodes_ref[pl.ds(0, 1), :]
+    stack_ref[0, 0] = root[0, 8 + 6].astype(jnp.int32)
+    stack_ref[0, 1] = root[0, 8 + 7].astype(jnp.int32)
     shape = ox.shape
     init = (
         jnp.int32(1),  # sp
@@ -181,10 +248,8 @@ def _traverse_kernel(nodes_ref, tris_ref, o_ref, d_ref, seed_ref,
     def body(c):
         sp, best_t, best_tri, bu, bv, bs, tt, bt = c
         sp = sp - 1
-        node = stack_ref[sp]
-        row = nodes_ref[pl.ds(node, 1), :]
-        idx_a = row[0, 6].astype(jnp.int32)
-        cnt = row[0, 7].astype(jnp.int32)
+        idx_a = stack_ref[sp, 0]
+        cnt = stack_ref[sp, 1]
         is_leaf = cnt > 0
 
         def do_leaf(args):
@@ -196,33 +261,38 @@ def _traverse_kernel(nodes_ref, tris_ref, o_ref, d_ref, seed_ref,
 
         def do_inner(args):
             best_t, best_tri, bu, bv, bs, tt, bt, sp = args
-            ca = idx_a
-            cb = idx_a + 1
-            row_a = nodes_ref[pl.ds(ca, 1), :]
-            row_b = nodes_ref[pl.ds(cb, 1), :]
-            near_a, hit_a = slab(row_a, best_t)
-            near_b, hit_b = slab(row_b, best_t)
+            w = pair_window(idx_a)  # child A at lanes 0..8, B at 8..16
+            near_a, hit_a = slab(w, 0, best_t)
+            near_b, hit_b = slab(w, 8, best_t)
             any_a = jnp.any(hit_a)
             any_b = jnp.any(hit_b)
             min_a = jnp.min(jnp.where(hit_a, near_a, INF))
             min_b = jnp.min(jnp.where(hit_b, near_b, INF))
             a_first = min_a <= min_b
+            ia_a = w[0, 6].astype(jnp.int32)
+            ct_a = w[0, 7].astype(jnp.int32)
+            ia_b = w[0, 8 + 6].astype(jnp.int32)
+            ct_b = w[0, 8 + 7].astype(jnp.int32)
             # push far child first so the near child pops first
-            far_child = jnp.where(a_first, cb, ca)
-            near_child = jnp.where(a_first, ca, cb)
+            far_ia = jnp.where(a_first, ia_b, ia_a)
+            far_ct = jnp.where(a_first, ct_b, ct_a)
+            near_ia = jnp.where(a_first, ia_a, ia_b)
+            near_ct = jnp.where(a_first, ct_a, ct_b)
             far_any = jnp.where(a_first, any_b, any_a)
             near_any = jnp.where(a_first, any_a, any_b)
             can_push = sp < MAX_STACK - 2
 
             @pl.when(far_any & can_push)
             def _():
-                stack_ref[sp] = far_child
+                stack_ref[sp, 0] = far_ia
+                stack_ref[sp, 1] = far_ct
 
             sp1 = sp + jnp.where(far_any & can_push, 1, 0)
 
             @pl.when(near_any & can_push)
             def _():
-                stack_ref[sp1] = near_child
+                stack_ref[sp1, 0] = near_ia
+                stack_ref[sp1, 1] = near_ct
 
             sp2 = sp1 + jnp.where(near_any & can_push, 1, 0)
             return best_t, best_tri, bu, bv, bs, tt, bt + 2, sp2
@@ -296,14 +366,15 @@ def traverse_world_bvh(
     # Scene buffers (nodes + tris) are grid-constant but the pipeline still
     # provisions double buffers for them; raise the scoped-VMEM cap so
     # ~60-200k-triangle scenes fit (v5e/v4 have headroom beyond the 16MB
-    # default). Larger scenes need an HBM-streaming variant.
+    # default). Larger scenes go through the chunked packing
+    # (pack_world_bvh_auto) and run this kernel once per resident chunk.
     outs = pl.pallas_call(
         _traverse_kernel,
         grid=(nb,),
         in_specs=[full(), full(), ray_spec, ray_spec, flat_spec],
         out_specs=[flat_spec] * 7,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((MAX_STACK, 2), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -315,3 +386,80 @@ def traverse_world_bvh(
 
     t, tri, u, v, s, tt, bt = (unshape(x) for x in outs)
     return t, tri, u, v, s, tt, bt
+
+
+def pack_world_bvh_auto(
+    tri_verts_world: np.ndarray,
+    max_leaf: int = MAX_LEAF,
+    max_depth: int = 32,
+    chunk_tris: int = CHUNK_TRIS,
+    max_resident: int = MAX_RESIDENT_TRIS,
+) -> WorldBVH | ChunkedWorldBVH:
+    """Pack for the Pallas traversal: a single resident WorldBVH when the
+    scene fits VMEM, else a ChunkedWorldBVH of spatially-contiguous chunks
+    (the global build's leaf order, sliced)."""
+    from halogen_tpu.accel.bvh import build_bvh
+
+    tv = np.asarray(tri_verts_world, np.float32)
+    n = tv.shape[0]
+    if n <= max_resident:
+        return pack_world_bvh(tv, max_leaf=max_leaf, max_depth=max_depth)
+
+    top = build_bvh(tv.copy(), max_leaf=max_leaf, max_depth=max_depth)
+    order = top.tri_order  # spatial (leaf) order of the global tree
+    chunks = []
+    for c0 in range(0, n, chunk_tris):
+        ids = order[c0:c0 + chunk_tris]
+        chunks.append(pack_world_bvh(
+            tv[ids], max_leaf=max_leaf, max_depth=max_depth, tri_ids=ids))
+    root = np.zeros((8,), np.float32)
+    root[0:3] = np.asarray(top.lo[0])
+    root[3:6] = np.asarray(top.hi[0])
+    return ChunkedWorldBVH(chunks=tuple(chunks), root=jnp.asarray(root))
+
+
+def traverse_world_bvh_any(
+    wbvh,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    t_seed: jnp.ndarray,
+    interpret: bool = False,
+    block_sub: int = RAY_SUB,
+):
+    """Closest hit over a WorldBVH or ChunkedWorldBVH (same contract as
+    traverse_world_bvh; the returned tri is the GLOBAL triangle id — for
+    the single-chunk case callers still map slots via wbvh.tri_map, so this
+    wrapper applies the map itself for both cases)."""
+    if isinstance(wbvh, WorldBVH):
+        t, slot, u, v, s, tt, bt = traverse_world_bvh(
+            wbvh, origin, direction, t_seed, interpret=interpret,
+            block_sub=block_sub)
+        return t, wbvh.tri_map[slot], u, v, s, tt, bt
+
+    n = origin.shape[0]
+    best = (
+        jnp.full((n,), INF), jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+        jnp.ones((n,), jnp.float32),
+    )
+    seed = t_seed
+    tt_acc = jnp.zeros((n,), jnp.int32)
+    bt_acc = jnp.zeros((n,), jnp.int32)
+    for wb in wbvh.chunks:
+        t, slot, u, v, s, tt, bt = traverse_world_bvh(
+            wb, origin, direction, seed, interpret=interpret,
+            block_sub=block_sub)
+        win = jnp.isfinite(t)  # kernel enforces t < seed
+        bt_, bi_, bu_, bv_, bs_ = best
+        best = (
+            jnp.where(win, t, bt_),
+            jnp.where(win, wb.tri_map[slot], bi_),
+            jnp.where(win, u, bu_),
+            jnp.where(win, v, bv_),
+            jnp.where(win, s, bs_),
+        )
+        seed = jnp.where(win, t, seed)  # prune later chunks harder
+        tt_acc = tt_acc + tt
+        bt_acc = bt_acc + bt
+    t, tri, u, v, s = best
+    return t, tri, u, v, s, tt_acc, bt_acc

@@ -163,9 +163,9 @@ class Scene:
         tv_world_cat = cat(tv_world, (0, 3, 3))
         wbvh = None
         if world_bvh and tv_world_cat.shape[0] > 0:
-            from halogen_tpu.kernels.bvh_pallas import pack_world_bvh
+            from halogen_tpu.kernels.bvh_pallas import pack_world_bvh_auto
 
-            wbvh = pack_world_bvh(tv_world_cat, max_leaf=max_leaf)
+            wbvh = pack_world_bvh_auto(tv_world_cat, max_leaf=max_leaf)
 
         from halogen_tpu.scene.lights import build_light_table
 

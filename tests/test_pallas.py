@@ -58,3 +58,43 @@ def test_pallas_sphere_priority():
     assert center[0] > 0.9 and center[1] < 0.1  # sphere (red) wins
     corner = img[1, 1]
     assert corner[1] > 0.9  # wall (green) visible around it
+
+
+def test_chunked_world_bvh_matches_single():
+    """Large-scene chunked packing must produce identical hits to the
+    single resident chunk (and both match brute force)."""
+    import jax.numpy as jnp
+    from halogen_tpu.integrator.intersect import intersect_tris_brute
+    from halogen_tpu.kernels.bvh_pallas import (
+        ChunkedWorldBVH, pack_world_bvh, pack_world_bvh_auto,
+        traverse_world_bvh_any)
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    v0 = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    tv = np.stack([v0, v0 + rng.normal(0, 0.3, (n, 3)),
+                   v0 + rng.normal(0, 0.3, (n, 3))], 1).astype(np.float32)
+    single = pack_world_bvh(tv)
+    chunked = pack_world_bvh_auto(tv, chunk_tris=900, max_resident=1500)
+    assert isinstance(chunked, ChunkedWorldBVH)
+    assert len(chunked.chunks) == 5
+
+    m = 1024
+    o = rng.uniform(-6, 6, (m, 3)).astype(np.float32)
+    d = rng.normal(size=(m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    seed = jnp.full((m,), np.inf, jnp.float32)
+    a = traverse_world_bvh_any(single, jnp.asarray(o), jnp.asarray(d), seed,
+                               interpret=True)
+    b = traverse_world_bvh_any(chunked, jnp.asarray(o), jnp.asarray(d), seed,
+                               interpret=True)
+    ta = np.asarray(a[0])
+    np.testing.assert_array_equal(ta, np.asarray(b[0]))
+    hit = np.isfinite(ta)
+    for i in range(1, 5):  # tri, u, v, s agree wherever something was hit
+        np.testing.assert_array_equal(np.asarray(a[i])[hit],
+                                      np.asarray(b[i])[hit])
+    bt, *_ = intersect_tris_brute(jnp.asarray(o), jnp.asarray(d),
+                                  jnp.asarray(tv))
+    np.testing.assert_allclose(np.where(hit, ta, np.inf), np.asarray(bt),
+                               rtol=2e-5, atol=1e-6)
