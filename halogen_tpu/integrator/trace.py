@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from halogen_tpu.config import DebugMode, RenderSettings, SamplerKind
+from halogen_tpu.core.math import gather_rows
 from halogen_tpu.core.medium import MediumStack
 from halogen_tpu.core.types import SceneData
 from halogen_tpu.integrator.camera import Camera, generate_rays
@@ -194,7 +195,8 @@ def _pool_bounce(
         # triangle emitters: area pdf -> solid angle at this hit
         pdf_area_hit = jnp.where(
             hit.tri >= 0,
-            scene.tri_light_pdf_area[jnp.maximum(hit.tri, 0)], 0.0)
+            gather_rows(scene.tri_light_pdf_area,
+                        jnp.maximum(hit.tri, 0)), 0.0)
         cos_hit = jnp.abs(jnp.sum(carry.direction * hit.normal, axis=-1))
         t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
         pdf_sa_hit = pdf_area_hit * t_safe * t_safe / jnp.maximum(
@@ -203,8 +205,9 @@ def _pool_bounce(
         if scene.num_spheres:
             sp = jnp.maximum(hit.sphere, 0)
             sph_pdf = sphere_cone_pdf(
-                scene.sphere_light_sel[sp],
-                scene.sphere_center[sp], scene.sphere_radius[sp],
+                gather_rows(scene.sphere_light_sel, sp),
+                gather_rows(scene.sphere_center, sp),
+                gather_rows(scene.sphere_radius, sp),
                 carry.origin,
             )
             pdf_sa_hit = jnp.where(hit.sphere >= 0, sph_pdf, pdf_sa_hit)
@@ -361,15 +364,15 @@ def _pool_bounce(
 
         lmat_id = jnp.where(
             is_tri,
-            scene.tri_material[jnp.maximum(jnp.where(is_tri, ls["idx"], 0),
-                                           0)]
+            gather_rows(scene.tri_material,
+                        jnp.maximum(jnp.where(is_tri, ls["idx"], 0), 0))
             if scene.num_triangles else 0,
-            scene.sphere_material[jnp.maximum(
-                jnp.where(is_tri, 0, ls["idx"]), 0)]
+            gather_rows(scene.sphere_material,
+                        jnp.maximum(jnp.where(is_tri, 0, ls["idx"]), 0))
             if scene.num_spheres else 0,
         )
-        l_em = (scene.materials.emissive[lmat_id, :3]
-                * scene.materials.emissive[lmat_id, 3][:, None])
+        l_emissive = gather_rows(scene.materials.emissive, lmat_id)  # [N, 4]
+        l_em = l_emissive[:, :3] * l_emissive[:, 3][:, None]
         p_cos_l = cos_s * np.float32(1.0 / np.pi)
         w_l = pdf_sa / jnp.maximum(pdf_sa + p_cos_l, 1e-12)
         f_cos_l = mat.albedo * (cos_s * np.float32(1.0 / np.pi))[:, None]

@@ -20,6 +20,8 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
+from halogen_tpu.core.math import gather_rows
+
 _LUM = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
 
 
@@ -117,13 +119,13 @@ def sample_light(lights: LightTable, scene, u_sel, u1, u2):
     """
     li = jnp.clip(jnp.searchsorted(lights.cdf, u_sel), 0,
                   lights.kind.shape[0] - 1)
-    kind = lights.kind[li]
-    idx = lights.idx[li]
+    kind = gather_rows(lights.kind, li)
+    idx = gather_rows(lights.idx, li)
 
     # --- triangle branch: uniform barycentric point
     tidx = jnp.where(kind == 0, idx, 0)
-    v = scene.tri_verts_world[tidx] if scene.num_triangles else jnp.zeros(
-        u_sel.shape + (3, 3), jnp.float32)
+    v = gather_rows(scene.tri_verts_world, tidx) if scene.num_triangles \
+        else jnp.zeros(u_sel.shape + (3, 3), jnp.float32)
     su = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
     b0 = 1.0 - su
     b1 = su * (1.0 - u2)
@@ -136,14 +138,15 @@ def sample_light(lights: LightTable, scene, u_sel, u1, u2):
     # which knows the shading point)
     sidx = jnp.where(kind == 1, idx, 0)
     if scene.num_spheres:
-        center = scene.sphere_center[sidx]
-        radius = scene.sphere_radius[sidx]
+        center = gather_rows(scene.sphere_center, sidx)
+        radius = gather_rows(scene.sphere_radius, sidx)
     else:
         center = jnp.zeros(u_sel.shape + (3,), jnp.float32)
         radius = jnp.zeros(u_sel.shape, jnp.float32)
 
     return dict(
         kind=kind, idx=idx,
-        tri_point=tri_point, gn=gn, pdf_area=lights.pdf_area[li],
-        center=center, radius=radius, sel=lights.sel[li],
+        tri_point=tri_point, gn=gn,
+        pdf_area=gather_rows(lights.pdf_area, li),
+        center=center, radius=radius, sel=gather_rows(lights.sel, li),
     )
