@@ -148,6 +148,25 @@ def unstack3(v: jnp.ndarray):
     return v[..., 0], v[..., 1], v[..., 2]
 
 
+def stack3(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """(x, y, z) -> [..., 3], with an optimization barrier before the stack.
+
+    TPU rationale: XLA sinks the producers of `stack` operands into the
+    concatenate's [N, 1] slices, which get the degenerate T(1,128) layout
+    (1/8 sublane utilization) — profiled at ~35% of a Cornell frame for
+    chains as deep as the whole Sobol sampler. The barrier forces the
+    component math to evaluate at the native [N] layout; only the cheap
+    relayout copy remains inside the stack. Differentiable (barrier is
+    identity with identity transpose).
+    """
+    import jax
+
+    x, y, z = jax.lax.optimization_barrier(
+        (jnp.asarray(x), jnp.asarray(y), jnp.asarray(z))
+    )
+    return jnp.stack([x, y, z], axis=-1)
+
+
 def dot_soa(a, b):
     """3-tuples of component arrays -> broadcasted dot product."""
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]

@@ -10,6 +10,7 @@ device mesh and vectorizes on the VPU.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -19,9 +20,13 @@ NO_MEDIUM_ID = -1  # empty-medium materialID (HalgoenCompute.compute:84)
 EMPTY_PRIORITY = 2**31 - 1  # empty-medium priority ~ +inf (compute:85)
 
 
-def _register(cls):
+def _register(cls, meta=()):
     fields = [f.name for f in dataclasses.fields(cls)]
-    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    jax.tree_util.register_dataclass(
+        cls,
+        data_fields=[f for f in fields if f not in meta],
+        meta_fields=list(meta),
+    )
     return cls
 
 
@@ -50,7 +55,7 @@ class MaterialTable:
         return self.albedo.shape[0]
 
 
-@_register
+@functools.partial(_register, meta=("any_transmissive",))
 @dataclasses.dataclass(frozen=True)
 class SceneData:
     """Flattened render-ready scene.
@@ -113,6 +118,12 @@ class SceneData:
     # reference's per-mesh BVHs this is one tree over all pre-transformed
     # triangles (its TLAS TODO solved the TPU way).
     wbvh: object = None
+
+    # Static (jit-specializing) scene facts, computed at build time.
+    # `any_transmissive`: does any material have transmission alpha < 1?
+    # When False the nested-dielectric stack is provably always empty and
+    # the integrator skips the per-bounce stack machinery entirely.
+    any_transmissive: bool = True
 
     @property
     def num_triangles(self) -> int:

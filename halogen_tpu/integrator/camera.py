@@ -24,7 +24,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from halogen_tpu.core.math import normalize, transform_dir, transform_point
+from halogen_tpu.core.math import (
+    normalize,
+    stack3,
+    transform_dir,
+    transform_point,
+)
 from halogen_tpu.sampler.sobol import (
     DIM_FOCAL_DISC,
     DIM_RAY_JITTER,
@@ -137,19 +142,16 @@ def generate_rays(
     jitter_x = inverse_blackman_harris_cdf(ju) * 2.0 * filter_radius * px_w
     jitter_y = inverse_blackman_harris_cdf(jv) * 2.0 * filter_radius * px_h
 
-    screen = jnp.stack(
-        [
-            ndc_x * camera.half_w + jitter_x,
-            ndc_y * camera.half_h + jitter_y,
-            jnp.broadcast_to(camera.near, ndc_x.shape),
-        ],
-        axis=-1,
+    screen = stack3(
+        ndc_x * camera.half_w + jitter_x,
+        ndc_y * camera.half_h + jitter_y,
+        jnp.broadcast_to(camera.near, ndc_x.shape),
     )  # camera space point on the near plane (compute:1002-1003)
 
     # Thin lens: aperture point on the focal disc (compute:998-999)
     au, av = sample_2d(sample_idx, DIM_FOCAL_DISC, seed)
     ax, ay = point_in_circle(camera.aperture_radius, au, av)
-    aperture = jnp.stack([ax, ay, jnp.zeros_like(ax)], axis=-1)
+    aperture = stack3(ax, ay, jnp.zeros_like(ax))
 
     # Direction through the focal plane (compute:1006-1007)
     focal_point = normalize(screen) * camera.focal_distance

@@ -90,46 +90,44 @@ def intersect_tris_brute(
         z = jnp.zeros((n,), jnp.float32)
         return jnp.full((n,), INF), jnp.zeros((n,), jnp.int32), z, z, z
 
-    pad = (-t_count) % block
+    # Triangle tiles oriented [B, N]: rays ride the 128-wide lane axis
+    # (always full) and triangles the 8-deep sublane axis — a scene with
+    # T < 128 triangles then pads T only up to the next multiple of 8
+    # instead of to 128 lanes (8x less VPU work on a 12-tri Cornell box).
+    sub = 8
+    blk = max(sub, min(block, -(-t_count // sub) * sub))
+    pad = (-t_count) % blk
     if pad:
         tri_verts = jnp.concatenate(
             [tri_verts, jnp.zeros((pad, 3, 3), tri_verts.dtype)], axis=0
         )  # degenerate pads have det 0 -> always miss
-    # SoA triangle tiles: [nblocks, 9, B] per-component rows (v0, e1, e2)
-    # so every Möller-Trumbore intermediate is [N, B] — full VPU lanes.
     v0 = tri_verts[:, 0]
     e1 = tri_verts[:, 1] - tri_verts[:, 0]
     e2 = tri_verts[:, 2] - tri_verts[:, 0]
     comps = jnp.concatenate([v0, e1, e2], axis=1)  # [T, 9]
-    blocks = comps.reshape(-1, block, 9).transpose(0, 2, 1)  # [nb, 9, B]
+    blocks = comps.reshape(-1, blk, 9).transpose(0, 2, 1)  # [nb, 9, B]
 
-    o = tuple(origin[:, k:k + 1] for k in range(3))  # [N, 1] components
-    d = tuple(direction[:, k:k + 1] for k in range(3))
-
-    def test_block(rows):
-        """[9, B] triangle components -> t [N, B] (single pass, no payload
-        — carrying u/v/s through the reduction costs extra full passes
-        over [N, B]; the winner's payload is recomputed once below)."""
-        t, _, _, _ = triangle_intersect_soa(
-            o, d,
-            (rows[0][None], rows[1][None], rows[2][None]),
-            (rows[3][None], rows[4][None], rows[5][None]),
-            (rows[6][None], rows[7][None], rows[8][None]),
-        )
-        return jnp.where(t > HIT_EPS, t, INF)
+    o = tuple(origin[None, :, k] for k in range(3))  # [1, N] components
+    d = tuple(direction[None, :, k] for k in range(3))
 
     def body(carry, inp):
         base, rows = inp  # rows: [9, B]
         best_t, best_i = carry
-        t = test_block(rows)
-        blk_t = jnp.min(t, axis=1)
-        arg = jnp.argmin(t, axis=1)
+        t, _, _, _ = triangle_intersect_soa(
+            o, d,
+            (rows[0][:, None], rows[1][:, None], rows[2][:, None]),
+            (rows[3][:, None], rows[4][:, None], rows[5][:, None]),
+            (rows[6][:, None], rows[7][:, None], rows[8][:, None]),
+        )  # [B, N]
+        t = jnp.where(t > HIT_EPS, t, INF)
+        blk_t = jnp.min(t, axis=0)
+        arg = jnp.argmin(t, axis=0)
         better = blk_t < best_t
         idx = base + arg.astype(jnp.int32)
         return (jnp.where(better, blk_t, best_t),
                 jnp.where(better, idx, best_i)), None
 
-    bases = jnp.arange(blocks.shape[0], dtype=jnp.int32) * block
+    bases = jnp.arange(blocks.shape[0], dtype=jnp.int32) * blk
     init = (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32))
     if blocks.shape[0] == 1:
         (best_t, best_i), _ = body(init, (bases[0], blocks[0]))
@@ -163,20 +161,25 @@ def _intersect_spheres(scene: SceneData, origin, direction, far):
     if s == 0:
         return (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32),
                 jnp.ones((n,), jnp.float32))
-    # SoA components: rays [N, 1] x spheres [1, S] -> [N, S] intermediates.
-    o = tuple(origin[:, k:k + 1] for k in range(3))
-    d = tuple(direction[:, k:k + 1] for k in range(3))
+    # SoA components oriented [S, N]: rays in lanes (always 128-full),
+    # spheres in sublanes (pad to 8, not 128 — see intersect_tris_brute).
+    o = tuple(origin[None, :, k] for k in range(3))
+    d = tuple(direction[None, :, k] for k in range(3))
     inv_dv = _safe_inv(direction)
-    inv_d = tuple(inv_dv[:, k:k + 1] for k in range(3))
-    c = tuple(scene.sphere_center[None, :, k] for k in range(3))
-    r = scene.sphere_radius[None, :]
+    inv_d = tuple(inv_dv[None, :, k] for k in range(3))
+    c = tuple(scene.sphere_center[:, k][:, None] for k in range(3))
+    r = scene.sphere_radius[:, None]
     lo = tuple(ck - r for ck in c)
     hi = tuple(ck + r for ck in c)
-    aabb_t = ray_aabb_soa(lo, hi, o, inv_d)  # [N, S]
-    t, orient = sphere_intersect_soa(o, d, c, r)  # [N, S]
-    t = jnp.where((aabb_t < far[:, None]) & (t > HIT_EPS), t, INF)
-    best_t, arg, (best_orient,) = _onehot_min(t, (orient,))
-    return best_t, arg.astype(jnp.int32), best_orient
+    aabb_t = ray_aabb_soa(lo, hi, o, inv_d)  # [S, N]
+    t, orient = sphere_intersect_soa(o, d, c, r)  # [S, N]
+    t = jnp.where((aabb_t < far[None, :]) & (t > HIT_EPS), t, INF)
+    best_t = jnp.min(t, axis=0)
+    arg = jnp.argmin(t, axis=0).astype(jnp.int32)
+    # Winner orientation via a [S, N] one-hot select (S is tiny).
+    sel = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) == arg[None, :]
+    best_orient = jnp.sum(jnp.where(sel, orient, 0.0), axis=0)
+    return best_t, arg, best_orient
 
 
 def _hit_pos(origin, direction, t):

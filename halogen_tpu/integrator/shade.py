@@ -178,10 +178,22 @@ def evaluate_material_hit(
     active: jnp.ndarray,
     reflection_rand,
     property_rand,
+    any_transmissive: bool = True,
 ) -> ShadeResult:
     """Interface tracking + BRDF dispatch (evaluate_material_hit,
     compute:743-817), vectorized with `active` masking all stack mutations.
+
+    `any_transmissive=False` (static, from SceneData) takes a fast path:
+    with every material opaque (alpha = 1), no lane ever refracts, every
+    push is bandaid-popped within the same bounce, and the stack is
+    provably empty forever — so cur/hit media collapse to
+    (empty, internal) by orientation and all stack ops drop out
+    (~10% of a profiled Cornell frame).
     """
+    if not any_transmissive:
+        return _evaluate_material_hit_opaque(
+            ray_dir, hit, mat, stack, active, reflection_rand, property_rand
+        )
     internal = mat.internal_medium()
     uses_tracking = mat.priority >= 0  # compute:758
     entering = hit.orientation > 0
@@ -261,3 +273,29 @@ def evaluate_material_hit(
     )
 
     return ShadeResult(origin, direction, attenuation, bounce_type, stack2)
+
+
+def _evaluate_material_hit_opaque(
+    ray_dir, hit, mat, stack, active, reflection_rand, property_rand,
+) -> ShadeResult:
+    """Opaque-scene specialization (see evaluate_material_hit): stack is
+    always empty, every hit is a true hit, so cur/hit media reduce to
+    (empty|internal) by hit orientation — identical outputs, no stack ops."""
+    entering = hit.orientation > 0
+    cur_ior = jnp.where(entering, jnp.float32(1.0), mat.ior)
+    hit_ior = jnp.where(entering, mat.ior, jnp.float32(1.0))
+
+    scat = material_brdf(
+        ray_dir, hit, mat, cur_ior, hit_ior, reflection_rand, property_rand
+    )
+
+    # Beer-Lambert while travelling inside the material (exiting lanes):
+    # cur = internal medium there, exactly as in the general path.
+    t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
+    absorb = jnp.exp(-mat.absorption * t_safe[:, None])
+    attenuation = jnp.where(
+        (active & (~entering))[:, None], scat.attenuation * absorb,
+        scat.attenuation,
+    )
+    return ShadeResult(scat.origin, scat.direction, attenuation,
+                       scat.bounce_type, stack)

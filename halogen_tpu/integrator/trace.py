@@ -233,6 +233,7 @@ def _pool_bounce(
     shaded = evaluate_material_hit(
         carry.direction, hit, mat, carry.stack, shade_mask,
         refl_rand, prop_rand,
+        any_transmissive=scene.any_transmissive,
     )
 
     sm = shade_mask[:, None]
@@ -691,28 +692,46 @@ def render_pixels(
     px = pix % w
     py = pix // w
     seed = sob.pixel_seed(pix.astype(jnp.uint32))
-    far = jnp.broadcast_to(camera.far, (n,))
     tracer = trace_rays_wavefront_diff if settings.wavefront else trace_rays
 
-    def spp_body(acc, s):
-        sidx = sob.sample_index(frame, jnp.uint32(spp_offset) + s,
-                                settings.samples_per_pixel)
-        sidx = jnp.broadcast_to(sidx, (n,))
+    # Fold spp lanes into the ray axis: each device dispatch then carries
+    # up to ray_chunk_size rays instead of one [n] batch per spp lane.
+    # TPU rationale: a Cornell frame at n=65536 is launch-overhead-bound
+    # (~12k tiny kernels); widening the batch amortizes per-op overhead
+    # linearly. Results are identical — the sampler indexes by
+    # (frame, spp lane), so lanes are independent (SURVEY.md §3.4).
+    max_block = max(1, settings.ray_chunk_size // max(n, 1))
+    spp_block = 1
+    for cand in range(min(spp, max_block), 0, -1):
+        if spp % cand == 0:
+            spp_block = cand
+            break
+    groups = spp // spp_block
+    nb = n * spp_block
+    pxb = jnp.tile(px, spp_block)
+    pyb = jnp.tile(py, spp_block)
+    seedb = jnp.tile(seed, spp_block)
+    farb = jnp.broadcast_to(camera.far, (nb,))
+    lane = jnp.repeat(jnp.arange(spp_block, dtype=jnp.uint32), n)
+
+    def spp_body(acc, g):
+        lanes = jnp.uint32(spp_offset) + g * jnp.uint32(spp_block) + lane
+        sidx = sob.sample_index(frame, lanes, settings.samples_per_pixel)
         o, d = generate_rays(
-            camera, px, py, w, h, settings.filter_radius,
-            sidx, seed, _sampler_2d(settings),
+            camera, pxb, pyb, w, h, settings.filter_radius,
+            sidx, seedb, _sampler_2d(settings),
         )
-        out = tracer(scene, o, d, far, sidx, seed, settings)
+        out = tracer(scene, o, d, farb, sidx, seedb, settings)
         if settings.debug_mode != DebugMode.NONE:
-            col = _debug_color(out, scene, d, far, settings)
+            col = _debug_color(out, scene, d, farb, settings)
         else:
             col = out.color
-        return acc + col, None
+        return acc + col.reshape(spp_block, n, 3).sum(axis=0), None
 
     acc, _ = jax.lax.scan(
         spp_body,
         jnp.zeros((n, 3), jnp.float32),
-        jnp.arange(spp, dtype=jnp.uint32),
+        jnp.arange(groups, dtype=jnp.uint32),
     )
     return acc / spp
 

@@ -215,6 +215,12 @@ class Scene:
             tri_light_pdf_area=jnp.asarray(tri_light_pdf),
             sphere_light_sel=jnp.asarray(sphere_light_sel),
             wbvh=wbvh,
+            # Static: any material that can refract (transmission alpha < 1)?
+            # False lets the integrator skip the nested-dielectric stack
+            # machinery — it is provably a no-op in fully opaque scenes.
+            any_transmissive=bool(
+                np.asarray(mat_table.albedo)[:, 3].min(initial=1.0) < 1.0
+            ),
         )
 
 
