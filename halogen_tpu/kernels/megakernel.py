@@ -71,11 +71,12 @@ _U32 = jnp.uint32
 # ---------------------------------------------------------------------------
 
 def _u32_hash_const(value: int) -> int:
-    v = np.uint32(value)
-    state = v * np.uint32(747796405) + np.uint32(2891336453)
-    word = ((state >> np.uint32((state >> np.uint32(28)) + np.uint32(4)))
-            ^ state) * np.uint32(277803737)
-    return int((word >> np.uint32(22)) ^ word)
+    with np.errstate(over="ignore"):
+        v = np.uint32(value)
+        state = v * np.uint32(747796405) + np.uint32(2891336453)
+        word = ((state >> np.uint32((state >> np.uint32(28)) + np.uint32(4)))
+                ^ state) * np.uint32(277803737)
+        return int((word >> np.uint32(22)) ^ word)
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +139,13 @@ def _sobol_dim1(index):
 
 
 def _to_unit(u):
-    return u.astype(jnp.float32) * _INV_U32
+    # Mosaic has no uint32->f32 convert; split into a 24-bit high part and
+    # an 8-bit low part (both exact in f32) so hi*256+lo rounds ONCE —
+    # bit-identical to XLA's round-to-nearest u32->f32 used by the
+    # lockstep sampler (sampler/sobol.to_unit_float).
+    hi = (u >> _U32(8)).astype(jnp.int32).astype(jnp.float32)
+    lo = (u & _U32(0xFF)).astype(jnp.int32).astype(jnp.float32)
+    return (hi * np.float32(256.0) + lo) * _INV_U32
 
 
 def _sobol_2d(index, dim: int, seed):
