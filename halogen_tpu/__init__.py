@@ -12,6 +12,7 @@ multi-device sharding which the reference lacks.
 
 from halogen_tpu.config import (
     DebugMode,
+    Fused,
     Intersector,
     RenderSettings,
     SamplerKind,
@@ -28,6 +29,7 @@ __version__ = "0.1.0"
 __all__ = [
     "RenderSettings",
     "DebugMode",
+    "Fused",
     "Intersector",
     "SamplerKind",
     "Material",

@@ -34,6 +34,22 @@ class SamplerKind(enum.IntEnum):
     PRNG = 1
 
 
+class Fused(enum.IntEnum):
+    """Fused-bounce megakernel dispatch (`kernels/megakernel.py`).
+
+    AUTO routes eligible scenes (see `megakernel.fused_supported`) through
+    the single-`pallas_call` path loop on TPU — the TPU answer to the
+    reference's whole-path-per-dispatch megakernel
+    (`HalgoenCompute.compute:876-1063`). OFF always uses the lockstep /
+    wavefront schedulers. FORCE takes the fused path even off-TPU
+    (Pallas interpret mode — slow; for parity tests).
+    """
+
+    AUTO = 0
+    OFF = 1
+    FORCE = 2
+
+
 class Intersector(enum.IntEnum):
     """Scene-intersection backend.
 
@@ -110,6 +126,9 @@ class RenderSettings:
 
     # TPU execution knobs (no reference counterpart)
     intersector: Intersector = Intersector.AUTO
+    # Fused-bounce Pallas megakernel: whole path loop in one kernel for
+    # eligible scenes (the single-chip speed path).
+    fused: Fused = Fused.AUTO
     # Wavefront scheduler (SURVEY.md §2 #14): compact active rays per
     # bounce and run only live blocks. Forward-only (no grad); best for
     # deep-bounce scenes with Russian roulette. Off = lockstep masking.

@@ -43,7 +43,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from halogen_tpu.config import DebugMode, RenderSettings, SamplerKind
+from halogen_tpu.config import DebugMode, Fused, RenderSettings, SamplerKind
 from halogen_tpu.core.math import gather_rows
 from halogen_tpu.core.medium import MediumStack
 from halogen_tpu.core.types import SceneData
@@ -55,6 +55,7 @@ from halogen_tpu.scene.envmap import (
     env_pdf,
     sample_env,
     sample_env_direction,
+    sample_env_mip_nearest,
 )
 from halogen_tpu.scene.lights import sample_light, sphere_cone_pdf
 
@@ -274,14 +275,12 @@ def _pool_bounce(
         sh_origin = hit.pos + hit.normal * 1e-4
         sh_hit, _, _ = intersect_scene(scene, sh_origin, ldir, far, settings)
         visible = sh_hit.t >= far
-        # Radiance MUST come from the same (finest) mip the pdf tables
-        # were built from: a coarser mip spreads bright texels onto
-        # neighbors whose pdf is tiny -> giant-weight fireflies. The
-        # env_mip_level knob remains a BRDF-path-only bias, as in the
-        # reference.
-        radiance = sample_env(
-            scene.env_mips, ldir, jnp.zeros((n,), jnp.int32)
-        )
+        # Radiance MUST be the nearest-texel value of the same (finest)
+        # mip the pdf tables were built from: a filtered or coarser-mip
+        # lookup spreads bright texels onto neighbors whose pdf is tiny
+        # -> giant-weight fireflies. The env_mip_level knob remains a
+        # BRDF-path-only bias, as in the reference.
+        radiance = sample_env_mip_nearest(scene.env_mips[0], ldir)
         p_cos = cos_l * np.float32(1.0 / np.pi)
         w_nee = lpdf / (lpdf + p_cos)
         f_cos = mat.albedo * (cos_l * np.float32(1.0 / np.pi))[:, None]
@@ -414,12 +413,12 @@ def _pool_bounce(
     # --- miss: sky emission, ray dies (compute:938-946)
     miss = active & (~is_hit)
     if settings.mip_importance_bias:
-        level = jnp.round(
-            settings.env_mip_level
-            + carry.acc_roughness * settings.mip_importance_range
-        ).astype(jnp.int32)
+        # float level -> trilinear inter-mip blend, like the reference's
+        # hardware SampleLevel with the roughness bias (compute:940-945)
+        level = (settings.env_mip_level
+                 + carry.acc_roughness * settings.mip_importance_range)
     else:
-        level = jnp.full((n,), settings.env_mip_level, jnp.int32)
+        level = jnp.full((n,), settings.env_mip_level, jnp.float32)
     sky = sample_sky(scene, carry.direction, level, settings)
     sky_w = jnp.ones((n,), jnp.float32)
     if use_nee:
@@ -694,6 +693,20 @@ def render_pixels(
     seed = sob.pixel_seed(pix.astype(jnp.uint32))
     tracer = trace_rays_wavefront_diff if settings.wavefront else trace_rays
 
+    # Fused-bounce megakernel dispatch (static): eligible scenes run the
+    # whole path loop inside one pallas_call (kernels/megakernel.py) —
+    # the reference's megakernel design (HalgoenCompute.compute:876-1063)
+    # mapped to TPU. AUTO takes it only on real TPU hardware (interpret
+    # mode would be slower than the lockstep XLA program).
+    from halogen_tpu.kernels import megakernel as mk
+
+    use_fused = (
+        settings.fused != Fused.OFF
+        and mk.fused_supported(scene, settings)
+        and (settings.fused == Fused.FORCE
+             or jax.default_backend() == "tpu")
+    )
+
     # Fold spp lanes into the ray axis: each device dispatch then carries
     # up to ray_chunk_size rays instead of one [n] batch per spp lane.
     # TPU rationale: a Cornell frame at n=65536 is launch-overhead-bound
@@ -721,11 +734,17 @@ def render_pixels(
             camera, pxb, pyb, w, h, settings.filter_radius,
             sidx, seedb, _sampler_2d(settings),
         )
-        out = tracer(scene, o, d, farb, sidx, seedb, settings)
-        if settings.debug_mode != DebugMode.NONE:
-            col = _debug_color(out, scene, d, farb, settings)
+        if use_fused:
+            # fused_supported guarantees debug_mode == NONE, so color is
+            # the only output the kernel needs to produce.
+            col = mk.trace_color_fused_diff(
+                scene, o, d, camera.far, sidx, seedb, settings)
         else:
-            col = out.color
+            out = tracer(scene, o, d, farb, sidx, seedb, settings)
+            if settings.debug_mode != DebugMode.NONE:
+                col = _debug_color(out, scene, d, farb, settings)
+            else:
+                col = out.color
         return acc + col.reshape(spp_block, n, 3).sum(axis=0), None
 
     acc, _ = jax.lax.scan(

@@ -164,11 +164,6 @@ def _sobol_1d(index, dim: int, seed):
     return _to_unit(_owen_scramble(_reverse_bits(index), _u32_hash(sd)))
 
 
-def _prng_2d(index, dim: int, seed):
-    h0 = _hash_combine(seed, 0)  # placeholder; real impl below
-    raise NotImplementedError
-
-
 def _prng_2d_impl(index, dim: int, seed):
     # mirror sampler/sobol.prng_sample_2d: hash_combine(hash_combine(seed,
     # index), dim) — index is per-ray, dim static.

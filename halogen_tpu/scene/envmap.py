@@ -4,10 +4,12 @@ TPU redesign of the reference's environment cubemap + trilinear mip sampling
 (`HalgoenCompute.compute:196-204`, imported 2048px cubemap per
 `resting_place_4k.exr.meta`): a single equirectangular [H, W, 3] texture
 avoids cubemap face-selection branching and keeps lookups as one gather.
-Mip levels are 2x box-downsampled; `sample_env` does nearest-texel lookup at
-an integer mip (the reference samples a mip level chosen by
-`DefaultHDRIMipLevel` plus the accumulated-roughness bias,
-`HalgoenCompute.compute:940-945`).
+Mip levels are 2x box-downsampled; `sample_env` does trilinear filtering
+(bilinear with azimuth wrap + inter-mip blend) at a float mip level, like
+the reference's hardware `SampleLevel` with `DefaultHDRIMipLevel` plus the
+accumulated-roughness bias (`HalgoenCompute.compute:940-945`). NEE uses
+`sample_env_mip_nearest` so radiance stays texel-consistent with the
+luminance-CDF pdf tables.
 
 Also provides luminance CDF tables for envmap importance sampling — a
 capability the reference lists as TODO (`HalgoenCompute.compute:19` "Multiple
@@ -84,8 +86,14 @@ def dir_to_equirect_uv(d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return u, v
 
 
-def sample_env_mip(mip: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-texel lookup of one [H, W, 3] mip for [..., 3] directions."""
+def sample_env_mip_nearest(
+    mip: jnp.ndarray, direction: jnp.ndarray
+) -> jnp.ndarray:
+    """Nearest-texel lookup of one [H, W, 3] mip for [..., 3] directions.
+
+    Used by envmap NEE, where radiance must stay texel-consistent with the
+    luminance-CDF pdf tables (a filtered lookup would spread bright texels
+    onto neighbors whose pdf is tiny -> unbounded-weight fireflies)."""
     h, w = mip.shape[0], mip.shape[1]
     u, v = dir_to_equirect_uv(direction)
     x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
@@ -94,24 +102,60 @@ def sample_env_mip(mip: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     return flat[y * w + x]
 
 
+def sample_env_mip(mip: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear lookup of one [H, W, 3] mip for [..., 3] directions.
+
+    Texel centers sit at (i + 0.5)/size; the azimuth (x) axis wraps — the
+    equirect seam is continuous — and the polar (y) axis clamps at the
+    poles. Matches the reference's hardware bilinear tap
+    (HalgoenCompute.compute:196-204 SampleLevel on the cubemap sampler).
+    """
+    h, w = mip.shape[0], mip.shape[1]
+    u, v = dir_to_equirect_uv(direction)
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    flat = mip.reshape(-1, 3)
+    c00 = flat[y0i * w + x0i]
+    c01 = flat[y0i * w + x1i]
+    c10 = flat[y1i * w + x0i]
+    c11 = flat[y1i * w + x1i]
+    wxe = wx[..., None]
+    top = c00 + (c01 - c00) * wxe
+    bot = c10 + (c11 - c10) * wxe
+    return top + (bot - top) * wy[..., None]
+
+
 def sample_env(
     env_mips: Tuple[jnp.ndarray, ...],
     direction: jnp.ndarray,
     level: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Sample the pyramid at per-ray integer mip `level` (clamped).
+    """Trilinear sample of the pyramid at per-ray float mip `level`.
 
-    Computes every resident mip's lookup and selects — levels are few and
-    static, so this stays branch-free (TPU-friendly); the reference's
-    sampler hardware did trilinear filtering instead.
+    Bilinear within each mip plus a linear blend between the two mips
+    bracketing `level` — the TPU equivalent of the reference's hardware
+    trilinear `SampleLevel` on the environment cubemap
+    (HalgoenCompute.compute:196-204). Every resident mip's lookup is
+    computed and blended by weight — levels are few and static, so this
+    stays gather-light and branch-free (TPU-friendly). Integer `level`
+    inputs reduce to pure bilinear at that mip.
     """
     if not env_mips:
         return jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
-    level = jnp.clip(level, 0, len(env_mips) - 1)
+    level = jnp.clip(level.astype(jnp.float32), 0.0,
+                     float(len(env_mips) - 1))
     out = jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
     for i, mip in enumerate(env_mips):
-        out = jnp.where((level == i)[..., None],
-                        sample_env_mip(mip, direction), out)
+        wgt = jnp.clip(1.0 - jnp.abs(level - float(i)), 0.0, 1.0)
+        out = out + sample_env_mip(mip, direction) * wgt[..., None]
     return out
 
 

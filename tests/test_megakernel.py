@@ -1,0 +1,135 @@
+"""Fused-bounce Pallas megakernel (interpret mode on CPU): primals must
+match the lockstep tracer, gradients must match the lockstep replay, and
+the render_pixels dispatch must route eligible scenes through it.
+
+TPU-mode parity + throughput evidence is recorded separately by
+scripts/tpu_evidence.py (committed as PERF.md / perf artifacts) since CI
+here runs on the virtual CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import halogen_tpu as ht
+from halogen_tpu.config import Fused, SamplerKind
+from halogen_tpu.integrator.camera import generate_rays
+from halogen_tpu.integrator.trace import render_pixels, trace_rays
+from halogen_tpu.kernels.megakernel import (
+    MAX_TRIS,
+    fused_supported,
+    trace_color_fused,
+    trace_color_fused_diff,
+)
+from halogen_tpu.sampler import sobol as sob
+from halogen_tpu.scene import cornell
+from halogen_tpu.scene.envmap import Envmap
+
+CAM = ht.make_camera(position=(0, 0, 3.2), target=(0, 0, 0), fov_deg=40)
+
+
+def _rays(settings, w=16, frame=0):
+    n = w * w
+    pix = jnp.arange(n, dtype=jnp.int32)
+    seed = sob.pixel_seed(pix.astype(jnp.uint32))
+    sidx = sob.sample_index(jnp.uint32(frame), jnp.uint32(0),
+                            settings.samples_per_pixel)
+    o, d = generate_rays(CAM, pix % w, pix // w, w, w,
+                         settings.filter_radius, sidx, seed,
+                         sob.ld_sample_2d)
+    far = jnp.broadcast_to(CAM.far, (n,))
+    return o, d, far, sidx, seed
+
+
+@pytest.mark.parametrize("sampler,rr", [
+    (SamplerKind.SOBOL, True),
+    (SamplerKind.SOBOL, False),
+    (SamplerKind.PRNG, True),
+])
+def test_fused_matches_lockstep(sampler, rr):
+    scene = cornell.cornell_box(glossy=True).build()
+    settings = ht.RenderSettings(width=16, height=16, max_bounces=4,
+                                 sampler=sampler, russian_roulette=rr)
+    assert fused_supported(scene, settings)
+    o, d, far, sidx, seed = _rays(settings)
+    ref = trace_rays(scene, o, d, far, sidx, seed, settings).color
+    fus = trace_color_fused(scene, o, d, CAM.far, sidx, seed, settings)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fus),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_bounce_limits():
+    """Per-type bounce limits with `>` semantics must agree."""
+    scene = cornell.cornell_box(glossy=True).build()
+    settings = ht.RenderSettings(
+        width=12, height=12, max_bounces=6, max_diffuse_bounces=1,
+        max_glossy_bounces=2, russian_roulette=False)
+    o, d, far, sidx, seed = _rays(settings, w=12)
+    ref = trace_rays(scene, o, d, far, sidx, seed, settings).color
+    fus = trace_color_fused(scene, o, d, CAM.far, sidx, seed, settings)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fus),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_gradients_match_lockstep():
+    """trace_color_fused_diff: fused forward, lockstep-replay backward.
+    Gradients w.r.t. material parameters must equal the lockstep tracer's
+    (same backward program)."""
+    import dataclasses
+
+    scene = cornell.cornell_box(glossy=True).build()
+    settings = ht.RenderSettings(width=8, height=8, max_bounces=3,
+                                 russian_roulette=False)
+    o, d, far, sidx, seed = _rays(settings, w=8)
+
+    def swap(mats):
+        return dataclasses.replace(scene, materials=mats)
+
+    def loss_fused(mats):
+        col = trace_color_fused_diff(
+            swap(mats), o, d, CAM.far, sidx, seed, settings)
+        return jnp.sum(col ** 2)
+
+    def loss_ref(mats):
+        col = trace_rays(swap(mats), o, d, far, sidx, seed, settings).color
+        return jnp.sum(col ** 2)
+
+    g_f = jax.grad(loss_fused, allow_int=True)(scene.materials)
+    g_r = jax.grad(loss_ref, allow_int=True)(scene.materials)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+        if a.dtype == jax.dtypes.float0:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_render_pixels_fused_dispatch_matches():
+    """render_pixels with Fused.FORCE must match Fused.OFF on an eligible
+    scene (the AUTO dispatch contract, minus the TPU-backend gate)."""
+    scene = cornell.cornell_box(glossy=True).build()
+    st = ht.RenderSettings(width=12, height=12, samples_per_pixel=2,
+                           max_bounces=3)
+    pix = jnp.arange(144, dtype=jnp.int32)
+    a = render_pixels(scene, CAM, st.replace(fused=Fused.OFF),
+                      jnp.uint32(1), pix)
+    b = render_pixels(scene, CAM, st.replace(fused=Fused.FORCE),
+                      jnp.uint32(1), pix)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_eligibility_gates():
+    """Scenes outside the fused scope must be rejected statically."""
+    st = ht.RenderSettings()
+    glass = cornell.glass_sphere_box().build()
+    assert not fused_supported(glass, st)  # transmissive
+    big = cornell.cornell_box().build()
+    assert not fused_supported(
+        big, st.replace(use_envmap=True)) or not st.use_envmap
+    env_scene = cornell.cornell_box().build(envmap=Envmap.gradient_sky())
+    assert not fused_supported(env_scene, st.replace(use_envmap=True))
+    ok = cornell.cornell_box(glossy=True).build()
+    assert fused_supported(ok, st)
+    assert ok.num_triangles <= MAX_TRIS
