@@ -5,7 +5,10 @@ Reproduces the reference's only performance metric — the MRays/s HUD
 SPP * W * H, i.e. primary rays dispatched) — as a timed harness on real
 hardware. Baseline to beat: 100 Mrays/s/chip (BASELINE.json north star).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"};
+`extra` carries the BASELINE.json fwd+bwd metric (Mrays/s through one
+`render_loss_grad` step — forward render + path-replay backward — at
+256spp on the Cornell box).
 """
 
 import argparse
@@ -65,11 +68,45 @@ def main():
 
     rays = spp * width * width * frames  # HUD definition: primary rays
     mrays = rays / dt / 1e6
+
+    # --- fwd+bwd: BASELINE.json metric "Mrays/s/chip (fwd+bwd) at 256spp
+    # Cornell box" — one render_loss_grad step (forward render +
+    # path-replay backward) timed per effective primary ray.
+    from halogen_tpu.diff.grad import render_loss_grad
+
+    if args.quick or on_cpu:
+        bwd_w, bwd_spp = 64, 4
+    else:
+        bwd_w, bwd_spp = 256, 256
+    bwd_settings = ht.RenderSettings(
+        width=bwd_w, height=bwd_w, samples_per_pixel=bwd_spp,
+        max_bounces=bounces, ray_chunk_size=min(bwd_w * bwd_w, 262144),
+    )
+    params = {"materials": scene.materials}
+    target = jnp.zeros((bwd_w, bwd_w, 3), jnp.float32)
+    loss, grads = render_loss_grad(
+        params, scene, camera, bwd_settings, target, jnp.uint32(0))
+    jax.block_until_ready((loss, grads))  # compile + warm-up
+    bwd_frames = 1 if (args.quick or on_cpu) else 2
+    t0 = time.perf_counter()
+    for f in range(bwd_frames):
+        loss, grads = render_loss_grad(
+            params, scene, camera, bwd_settings, target, jnp.uint32(f + 1))
+    jax.block_until_ready((loss, grads))
+    dt_bwd = time.perf_counter() - t0
+    mrays_bwd = bwd_spp * bwd_w * bwd_w * bwd_frames / dt_bwd / 1e6
+
     print(json.dumps({
         "metric": "fwd_throughput_cornell",
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "extra": {
+            "fwd_bwd_throughput_cornell_256spp": round(mrays_bwd, 3),
+            "fwd_bwd_unit": "Mrays/s/chip (fwd+bwd)",
+            "fwd_bwd_config": f"{bwd_w}x{bwd_w}, {bwd_spp}spp, "
+                              f"{bounces} bounces",
+        },
     }))
     return 0
 

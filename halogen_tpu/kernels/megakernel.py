@@ -9,13 +9,19 @@ as broadcast scalars, and the only HBM traffic is the initial ray load
 and the final color store. This is the single-chip speed-of-light path
 for small (Cornell-class) scenes where the whole scene fits in SMEM.
 
-Scope (static eligibility, `fused_supported`): opaque scenes
-(`any_transmissive=False`, so the nested-dielectric stack is provably
-empty), no environment map, no NEE, debug off, <=MAX_TRIS triangles and
-<=MAX_SPHERES spheres. Everything else falls back to the lockstep /
-wavefront schedulers in `integrator/trace.py`. Per-ray results mirror
-`trace._pool_bounce` op-for-op (same formulas, same selection order), so
-images match the lockstep tracer to float addition-order tolerance.
+Scope (static eligibility, `fused_supported`): no NEE (neither envmap
+importance sampling nor area-light NEE), debug off, <=MAX_TRIS triangles
+and <=MAX_SPHERES spheres. Transmissive scenes run the full
+nested-dielectric interface-tracking path (the medium stack lives in
+VMEM as per-slot SoA register arrays); environment lookups are DEFERRED:
+a ray misses at most once — at its death — so the kernel records the
+miss attenuation / direction / accumulated roughness and the host
+wrapper adds `sample_env(dir, level) * attenuation` in one fused XLA
+pass afterwards. Everything else (NEE scenes, debug views, huge scenes)
+falls back to the lockstep / wavefront schedulers in
+`integrator/trace.py`. Per-ray results mirror `trace._pool_bounce`
+op-for-op (same formulas, same selection order), so images match the
+lockstep tracer to float addition-order tolerance.
 
 Semantics preserved (same reference citations as integrator/trace.py):
 - brute-force closest-hit with first-min tie-breaking and the
@@ -23,9 +29,14 @@ Semantics preserved (same reference citations as integrator/trace.py):
 - per-type bounce limits with `>` (compute:869-871), emission before
   BRDF (compute:901-902), Russian roulette with 1/p after the kill test
   (compute:923-936), sampler dims advancing 5 per bounce (compute:921)
-- the opaque material path of evaluate_material_hit (compute:743-817
-  with alpha=1: no refraction lane ever taken, Beer-Lambert only on
-  exiting lanes)
+- evaluate_material_hit (compute:743-817): nested-dielectric priority
+  rule + push/pop sequencing incl. the reflected-ray bandaid pop
+  (compute:799-802), refraction with TIR (compute:711-734), Beer-Lambert
+  absorption through the current medium (compute:810-813); opaque scenes
+  compile the stack-free specialization
+- miss -> sky with the accumulated-roughness mip bias
+  (QUESTIONABLE_IMPORTANCE_SAMPLING, compute:940-945) incl. the
+  float3->float roughness-accumulator truncation quirk (compute:911)
 
 Differentiability: the kernel is forward-only; `trace_color_fused_diff`
 wraps it in a custom_vjp whose backward is the vjp of the lockstep
@@ -45,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from halogen_tpu.config import DebugMode, RenderSettings, SamplerKind
 from halogen_tpu.core.types import SceneData
+from halogen_tpu.scene.envmap import sample_env
 
 # Static eligibility caps: the scene tables must fit in SMEM and the
 # primitive loops are fully unrolled in the kernel body.
@@ -63,20 +75,6 @@ _TWO_PI = np.float32(2.0 * np.pi)
 _INV_U32 = np.float32(1.0 / 4294967296.0)
 
 _U32 = jnp.uint32
-
-
-# ---------------------------------------------------------------------------
-# numpy mirror of the PCG hash, for folding static dimension IDs into
-# compile-time constants (sampler/sobol.u32_hash on python ints).
-# ---------------------------------------------------------------------------
-
-def _u32_hash_const(value: int) -> int:
-    with np.errstate(over="ignore"):
-        v = np.uint32(value)
-        state = v * np.uint32(747796405) + np.uint32(2891336453)
-        word = ((state >> np.uint32((state >> np.uint32(28)) + np.uint32(4)))
-                ^ state) * np.uint32(277803737)
-        return int((word >> np.uint32(22)) ^ word)
 
 
 # ---------------------------------------------------------------------------
@@ -148,33 +146,34 @@ def _to_unit(u):
     return (hi * np.float32(256.0) + lo) * _INV_U32
 
 
-def _sobol_2d(index, dim: int, seed):
-    """ld_sample_2d with the dimension hash folded to a constant."""
-    sd = seed ^ _U32(_u32_hash_const(dim))
+def _sobol_2d(index, dim, seed):
+    """ld_sample_2d; `dim` is a traced uint32 scalar (the per-bounce
+    dimension stride lives inside the kernel's fori_loop)."""
+    sd = seed ^ _u32_hash(dim)
     shuffled = _owen_scramble(index, sd)
     x = _owen_scramble(_reverse_bits(shuffled), _hash_combine(sd, 0))
     y = _owen_scramble(_sobol_dim1(shuffled), _hash_combine(sd, 1))
     return _to_unit(x), _to_unit(y)
 
 
-def _sobol_1d(index, dim: int, seed):
+def _sobol_1d(index, dim, seed):
     """ld_sample_1d: scrambles the value, does NOT shuffle the index
     (reference quirk, HalogenRandom.hlsl:203-209)."""
-    sd = seed ^ _U32(_u32_hash_const(dim))
+    sd = seed ^ _u32_hash(dim)
     return _to_unit(_owen_scramble(_reverse_bits(index), _u32_hash(sd)))
 
 
-def _prng_2d_impl(index, dim: int, seed):
+def _prng_2d_impl(index, dim, seed):
     # mirror sampler/sobol.prng_sample_2d: hash_combine(hash_combine(seed,
-    # index), dim) — index is per-ray, dim static.
+    # index), dim) — index is per-ray, dim a traced uint32 scalar.
     h = seed ^ (index + (seed << _U32(6)) + (seed >> _U32(2)))
-    h0 = h ^ (_U32(dim) + (h << _U32(6)) + (h >> _U32(2)))
+    h0 = h ^ (dim + (h << _U32(6)) + (h >> _U32(2)))
     return _to_unit(_u32_hash(h0)), _to_unit(_u32_hash(h0 ^ _U32(0x9E3779B9)))
 
 
-def _prng_1d_impl(index, dim: int, seed):
+def _prng_1d_impl(index, dim, seed):
     h = seed ^ (index + (seed << _U32(6)) + (seed >> _U32(2)))
-    h0 = h ^ (_U32(dim) + (h << _U32(6)) + (h >> _U32(2)))
+    h0 = h ^ (dim + (h << _U32(6)) + (h >> _U32(2)))
     return _to_unit(_u32_hash(h0))
 
 
@@ -209,11 +208,159 @@ def _sign(x):
 
 
 # ---------------------------------------------------------------------------
+# Nested-dielectric medium stack as per-slot SoA register arrays
+# (mirrors core/medium.MediumStack op-for-op; see its docstring for the
+# reference semantics, HalgoenCompute.compute:582-665)
+# ---------------------------------------------------------------------------
+
+STACK_DEPTH = 8  # participatingMediumStack[8] (HalgoenCompute.compute:188)
+_EMPTY_PRIO = np.int32(2**31 - 1)
+_NO_MEDIUM = np.int32(-1)
+
+
+class _Stack:
+    """Per-ray medium stacks: D slot-lists of [S,128] arrays + size.
+    Functional: every op returns a new _Stack."""
+
+    __slots__ = ("ior", "ab", "prio", "mid", "size")
+
+    def __init__(self, ior, ab, prio, mid, size):
+        self.ior = ior      # list[D] of [S,128] f32
+        self.ab = ab        # list[D] of 3-tuples of [S,128] f32
+        self.prio = prio    # list[D] of [S,128] i32
+        self.mid = mid      # list[D] of [S,128] i32
+        self.size = size    # [S,128] i32
+
+    @property
+    def depth(self):
+        return len(self.ior)
+
+    @staticmethod
+    def create(shape, depth=STACK_DEPTH):
+        f0 = jnp.zeros(shape, jnp.float32)
+        return _Stack(
+            ior=[jnp.ones(shape, jnp.float32)] * depth,
+            ab=[(f0, f0, f0)] * depth,
+            prio=[jnp.full(shape, _EMPTY_PRIO)] * depth,
+            mid=[jnp.full(shape, _NO_MEDIUM)] * depth,
+            size=jnp.zeros(shape, jnp.int32),
+        )
+
+    def top(self):
+        """(ior, (ab_r, ab_g, ab_b), prio, mid) of the top slot, or the
+        empty medium (get_top_ray_medium, compute:647-654)."""
+        shape = self.size.shape
+        idx = jnp.maximum(self.size - 1, 0)
+        ior = jnp.ones(shape, jnp.float32)
+        ab = [jnp.zeros(shape, jnp.float32) for _ in range(3)]
+        prio = jnp.full(shape, _EMPTY_PRIO)
+        mid = jnp.full(shape, _NO_MEDIUM)
+        nonempty = self.size > 0
+        for s in range(self.depth):
+            sel = nonempty & (idx == s)
+            ior = jnp.where(sel, self.ior[s], ior)
+            prio = jnp.where(sel, self.prio[s], prio)
+            mid = jnp.where(sel, self.mid[s], mid)
+            for c in range(3):
+                ab[c] = jnp.where(sel, self.ab[s][c], ab[c])
+        return ior, tuple(ab), prio, mid
+
+    def is_true_hit(self, priority):
+        """Priority rule (determine_true_medium_hit, compute:656-665)."""
+        _, _, top_prio, _ = self.top()
+        return (self.size == 0) | (priority <= top_prio)
+
+    def push(self, med, mask):
+        """Sorted insertion where `mask` (add_to_medium_stack,
+        compute:582-622); full stacks drop the push."""
+        m_ior, m_ab, m_prio, m_mid = med
+        _, _, top_prio, _ = self.top()
+        idx_sorted = jnp.zeros_like(self.size)
+        for s in range(self.depth):
+            gt = (s < self.size) & (self.prio[s] > m_prio)
+            idx_sorted = idx_sorted + gt.astype(jnp.int32)
+        at_top = m_prio <= top_prio
+        idx = jnp.where(at_top, self.size, idx_sorted)
+        can = mask & (self.size < self.depth)
+
+        def place(slots, val, tup=False):
+            out = []
+            for s in range(self.depth):
+                src = slots[s - 1]  # s=0 wraps like jnp.roll; overwritten
+                up = can & (s >= idx)
+                wr = can & (s == idx)
+                if tup:
+                    out.append(tuple(
+                        jnp.where(wr, val[c],
+                                  jnp.where(up, src[c], slots[s][c]))
+                        for c in range(3)))
+                else:
+                    out.append(jnp.where(wr, val,
+                                         jnp.where(up, src, slots[s])))
+            return out
+
+        return _Stack(
+            ior=place(self.ior, m_ior),
+            ab=place(self.ab, m_ab, tup=True),
+            prio=place(self.prio, m_prio),
+            mid=place(self.mid, m_mid),
+            size=self.size + can.astype(jnp.int32),
+        )
+
+    def pop_id(self, material_id, mask):
+        """Remove the bottom-most entry matching material_id where `mask`
+        (pop_from_medium_stack, compute:627-642). Missing ID = no-op."""
+        first = jnp.full_like(self.size, self.depth)
+        found = jnp.zeros(self.size.shape, bool)
+        for s in reversed(range(self.depth)):
+            m = (s < self.size) & (self.mid[s] == material_id)
+            first = jnp.where(m, s, first)
+            found = found | m
+        do = mask & found
+
+        def remove(slots, fill, tup=False):
+            out = []
+            for s in range(self.depth):
+                src = slots[(s + 1) % self.depth]
+                down = do & (s >= first)
+                dead = do & (s == self.size - 1)
+                if tup:
+                    out.append(tuple(
+                        jnp.where(dead, fill[c],
+                                  jnp.where(down, src[c], slots[s][c]))
+                        for c in range(3)))
+                else:
+                    out.append(jnp.where(dead, fill,
+                                         jnp.where(down, src, slots[s])))
+            return out
+
+        z = np.float32(0.0)
+        return _Stack(
+            ior=remove(self.ior, np.float32(1.0)),
+            ab=remove(self.ab, (z, z, z), tup=True),
+            prio=remove(self.prio, _EMPTY_PRIO),
+            mid=remove(self.mid, _NO_MEDIUM),
+            size=self.size - do.astype(jnp.int32),
+        )
+
+
+def _sel_medium(cond, a, b):
+    """Select between two (ior, ab3, prio, mid) media per lane."""
+    return (
+        jnp.where(cond, a[0], b[0]),
+        tuple(jnp.where(cond, a[1][c], b[1][c]) for c in range(3)),
+        jnp.where(cond, a[2], b[2]),
+        jnp.where(cond, a[3], b[3]),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kernel body
 # ---------------------------------------------------------------------------
 
 def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
-                 num_materials: int):
+                 num_materials: int, any_transmissive: bool,
+                 stack_depth: int = STACK_DEPTH):
     """Build the fused path-trace kernel body for static scene sizes."""
     sobol = settings.sampler == SamplerKind.SOBOL
     max_bounces = settings.max_bounces
@@ -232,7 +379,10 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
 
     def kernel(far_ref, tri_ref, trin_ref, sph_ref, mat_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               sidx_ref, seed_ref, outr_ref, outg_ref, outb_ref):
+               sidx_ref, seed_ref,
+               outr_ref, outg_ref, outb_ref,
+               mar_ref, mag_ref, mab_ref, mrough_ref,
+               odx_ref, ody_ref, odz_ref):
         far = far_ref[0, 0]
         o = (ox_ref[:], oy_ref[:], oz_ref[:])
         d = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -245,8 +395,45 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
         atten = [jnp.ones(shape, f32) for _ in range(3)]
         counts = [jnp.zeros(shape, jnp.int32) for _ in range(3)]
         active = jnp.ones(shape, bool)
+        acc_rough = jnp.zeros(shape, f32)
+        # deferred-miss record: attenuation at the miss bounce (zero on
+        # never-missed lanes), shaded outside as sample_env * matten
+        matten = [jnp.zeros(shape, f32) for _ in range(3)]
+        if any_transmissive:
+            stack = _Stack.create(shape, stack_depth)
+        else:
+            stack = _Stack([], [], [], [], jnp.zeros(shape, jnp.int32))
 
-        for k in range(max_bounces + 1):
+        # The bounce loop is a fori_loop, not a Python unroll: the body
+        # compiles ONCE, so Mosaic/XLA compile time is O(body) instead of
+        # O(max_bounces * body) — with default bounces 12 and the
+        # nested-dielectric stack in play, unrolling made compiles take
+        # minutes. Runtime cost of the loop carry is nil (stays in VMEM).
+        # Carry holds no bools (Mosaic's scf.for lowering rejects i1
+        # vectors in iter_args): `active` travels as int32 0/1.
+        def _flat(o, d, atten, color, counts, active, acc_rough, matten,
+                  stack):
+            base = (o, d, tuple(atten), tuple(color), tuple(counts),
+                    active.astype(jnp.int32), acc_rough, tuple(matten))
+            if any_transmissive:
+                base += (tuple(stack.ior), tuple(stack.ab),
+                         tuple(stack.prio), tuple(stack.mid), stack.size)
+            return base
+
+        def bounce_body(k, carry):
+            (o, d, atten, color, counts, active, acc_rough,
+             matten) = carry[:8]
+            active = active != 0
+            atten = list(atten)
+            color = list(color)
+            counts = list(counts)
+            matten = list(matten)
+            if any_transmissive:
+                st_ior, st_ab, st_prio, st_mid, st_size = carry[8:]
+                stack = _Stack(list(st_ior), list(st_ab), list(st_prio),
+                               list(st_mid), st_size)
+            else:
+                stack = None  # unused; _flat drops it for opaque scenes
             # --- per-type termination (compute:869-871, `>` semantics)
             over = ((counts[0] > lim_d) | (counts[1] > lim_g)
                     | (counts[2] > lim_t))
@@ -362,14 +549,17 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
             mat_id = jnp.where(mesh_wins, tr_mat, sp_mat)
 
             # --- material fetch: unrolled select over the SMEM table
-            NF = 16
+            NF = 17
             mf = [jnp.zeros(shape, f32) for _ in range(NF)]
             for mi in range(num_materials):
                 selm = mat_id == np.float32(mi)
                 for j in range(NF):
                     mf[j] = jnp.where(selm, mat_ref[mi, j], mf[j])
             (al_r, al_g, al_b, alpha, sp_r, sp_g, sp_b, metallic,
-             roughness, em_r, em_g, em_b, ior, ab_r, ab_g, ab_b) = mf
+             roughness, em_r, em_g, em_b, ior, ab_r, ab_g, ab_b,
+             prio_f) = mf
+            mat_i = mat_id.astype(jnp.int32)
+            prio_i = prio_f.astype(jnp.int32)
 
             # --- emission before BRDF (compute:901-902)
             emw = active & is_hit
@@ -379,18 +569,46 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
 
             # --- sampler draws for this bounce (dims = base + 5k,
             # compute:921)
-            stride = sob.BOUNCE_DIM_STRIDE * k
-            r1u, r1v = s2(sidx, sob.DIM_ROUGH_REFLECTION + stride, seed)
-            p1u, p1v = s2(sidx, sob.DIM_MATERIAL_BRDF + stride, seed)
-            rr = s1(sidx, sob.DIM_RUSSIAN_ROULETTE + stride, seed)
+            stride = _U32(sob.BOUNCE_DIM_STRIDE) * k.astype(jnp.uint32)
+            r1u, r1v = s2(sidx, _U32(sob.DIM_ROUGH_REFLECTION) + stride,
+                          seed)
+            p1u, p1v = s2(sidx, _U32(sob.DIM_MATERIAL_BRDF) + stride, seed)
+            rr = s1(sidx, _U32(sob.DIM_RUSSIAN_ROULETTE) + stride, seed)
 
             shade = active & is_hit
-
-            # --- opaque material path (evaluate_material_hit opaque
-            # specialization): cur/hit IOR by orientation, no stack
             entering = orient > 0.0
-            cur_ior = jnp.where(entering, np.float32(1.0), ior)
-            hit_ior = jnp.where(entering, ior, np.float32(1.0))
+
+            # --- interface tracking (evaluate_material_hit,
+            # compute:743-817): general nested-dielectric path when any
+            # material transmits, stack-free specialization otherwise
+            # (identical outputs for opaque scenes — see
+            # shade._evaluate_material_hit_opaque).
+            if any_transmissive:
+                internal = (ior, (ab_r, ab_g, ab_b), prio_i, mat_i)
+                uses_tracking = prio_i >= 0  # compute:758
+                # == where(uses_tracking, is_true_hit, True) without a
+                # scalar bool constant (Mosaic rejects the i8->i1 trunc)
+                true_hit = (~uses_tracking) | stack.is_true_hit(prio_i)
+                top0 = stack.top()
+                empty0 = stack.size == 0
+                track_exit = shade & uses_tracking & (~entering)
+                stack_ap = stack.pop_id(mat_i, track_exit)
+                top_ap = stack_ap.top()
+                cur = _sel_medium(
+                    entering, top0,
+                    _sel_medium(
+                        uses_tracking,
+                        _sel_medium(empty0, internal, top0),
+                        internal))
+                hitm = _sel_medium(
+                    entering, internal,
+                    _sel_medium(uses_tracking, top_ap, top0))
+                track_enter = shade & uses_tracking & entering
+                stack1 = stack_ap.push(internal, track_enter)
+                cur_ior, hit_ior = cur[0], hitm[0]
+            else:
+                cur_ior = jnp.where(entering, np.float32(1.0), ior)
+                hit_ior = jnp.where(entering, ior, np.float32(1.0))
 
             # uniform unit vector (HalogenRandom.hlsl:282-298)
             theta = r1u * _TWO_PI
@@ -429,18 +647,80 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
             spec_dir = (refl[0] + (diffuse_dir[0] - refl[0]) * r2,
                         refl[1] + (diffuse_dir[1] - refl[1]) * r2,
                         refl[2] + (diffuse_dir[2] - refl[2]) * r2)
-            new_dir = _normalize3(_where3(do_spec, spec_dir, diffuse_dir))
-            sc_at = _where3(do_spec, (sp_r, sp_g, sp_b), (al_r, al_g, al_b))
-            new_org = (pos[0] + normal[0] * _OFFSET_EPS,
-                       pos[1] + normal[1] * _OFFSET_EPS,
-                       pos[2] + normal[2] * _OFFSET_EPS)
-            bounce_type = jnp.where(do_spec, 1, 0)  # opaque: never 2
+            refl_dir = _where3(do_spec, spec_dir, diffuse_dir)
+            refl_at = _where3(do_spec, (sp_r, sp_g, sp_b), (al_r, al_g, al_b))
+            refl_org = (pos[0] + normal[0] * _OFFSET_EPS,
+                        pos[1] + normal[1] * _OFFSET_EPS,
+                        pos[2] + normal[2] * _OFFSET_EPS)
 
-            # Beer-Lambert on exiting lanes (compute:810-813)
-            exit_m = shade & (~entering)
-            sc_at = (jnp.where(exit_m, sc_at[0] * jnp.exp(-ab_r * t_safe), sc_at[0]),
-                     jnp.where(exit_m, sc_at[1] * jnp.exp(-ab_g * t_safe), sc_at[1]),
-                     jnp.where(exit_m, sc_at[2] * jnp.exp(-ab_b * t_safe), sc_at[2]))
+            if any_transmissive:
+                # --- refraction branch (material_BRDF, compute:711-734)
+                do_refr = p1u > alpha
+                cos_t = jnp.minimum(-dn, np.float32(1.0))
+                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                eta = cur_ior / hit_ior
+                tir_r = eta * sin_t > 1.0
+                rp = (eta * (d[0] + cos_t * normal[0]),
+                      eta * (d[1] + cos_t * normal[1]),
+                      eta * (d[2] + cos_t * normal[2]))
+                par = -jnp.sqrt(jnp.abs(1.0 - _dot3(rp, rp)))
+                refr = (rp[0] + par * normal[0], rp[1] + par * normal[1],
+                        rp[2] + par * normal[2])
+                refr = _where3(tir_r, refl, refr)
+                flip_n = _where3(tir_r, normal,
+                                 (-normal[0], -normal[1], -normal[2]))
+                sdir_r = (flip_n[0] + rv[0], flip_n[1] + rv[1],
+                          flip_n[2] + rv[2])
+                tiny_r = _dot3(sdir_r, sdir_r) < np.float32(1e-16)
+                sdir_r = _where3(tiny_r, flip_n, sdir_r)
+                diff_refr = _normalize3(sdir_r, eps=np.float32(0.0))
+                refr_dir = (refr[0] + (diff_refr[0] - refr[0]) * r2,
+                            refr[1] + (diff_refr[1] - refr[1]) * r2,
+                            refr[2] + (diff_refr[2] - refr[2]) * r2)
+                refr_org = (pos[0] - normal[0] * _OFFSET_EPS,
+                            pos[1] - normal[1] * _OFFSET_EPS,
+                            pos[2] - normal[2] * _OFFSET_EPS)
+                one = np.float32(1.0)
+                new_dir = _normalize3(_where3(do_refr, refr_dir, refl_dir),
+                                      eps=np.float32(1e-20))
+                new_org = _where3(do_refr, refr_org, refl_org)
+                sc_at = _where3(do_refr, (jnp.full(shape, one),) * 3,
+                                refl_at)
+                bounce_type = jnp.where(do_refr, 2,
+                                        jnp.where(do_spec, 1, 0))
+
+                # false hit: pass through behind the surface, counts as
+                # transmissive (compute:803-808)
+                is_true = shade & true_hit
+                new_org = _where3(is_true, new_org, refr_org)
+                new_dir = _where3(is_true, new_dir, d)
+                sc_at = _where3(is_true, sc_at, (jnp.full(shape, one),) * 3)
+                bounce_type = jnp.where(is_true, bounce_type, 2)
+
+                # bandaid pop (compute:799-802)
+                bandaid = is_true & entering & (bounce_type != 2)
+                stack = stack1.pop_id(mat_i, bandaid)
+
+                # Beer-Lambert through the current medium (compute:810-813)
+                absorbing = shade & (cur[3] != _NO_MEDIUM)
+                sc_at = tuple(
+                    jnp.where(absorbing,
+                              sc_at[c] * jnp.exp(-cur[1][c] * t_safe),
+                              sc_at[c])
+                    for c in range(3))
+            else:
+                new_dir = _normalize3(refl_dir)
+                new_org = refl_org
+                sc_at = refl_at
+                bounce_type = jnp.where(do_spec, 1, 0)  # opaque: never 2
+                # Beer-Lambert on exiting lanes (compute:810-813)
+                exit_m = shade & (~entering)
+                sc_at = tuple(
+                    jnp.where(exit_m,
+                              sc_at[c] * jnp.exp(
+                                  -(ab_r, ab_g, ab_b)[c] * t_safe),
+                              sc_at[c])
+                    for c in range(3))
 
             o = _where3(shade, new_org, o)
             d = _where3(shade, new_dir, d)
@@ -450,9 +730,15 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                 tuple(atten),
             ))
 
-            # bounce-type counts
+            # bounce-type counts (compute:796,807)
             counts[0] = counts[0] + jnp.where(shade & (bounce_type == 0), 1, 0)
             counts[1] = counts[1] + jnp.where(shade & (bounce_type == 1), 1, 0)
+            counts[2] = counts[2] + jnp.where(shade & (bounce_type == 2), 1, 0)
+
+            # roughness accumulator quirk: scalar += roughness * atten.x
+            # (compute:911 with HLSL float3->float truncation)
+            acc_rough = acc_rough + jnp.where(shade, roughness * atten[0],
+                                              0.0)
 
             # --- Russian roulette (compute:923-936)
             if use_rr:
@@ -468,12 +754,35 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
             else:
                 killed = jnp.zeros(shape, bool)
 
-            # miss -> black sky (use_envmap False in this kernel's scope)
+            # --- miss: record the deferred-sky attenuation (the host
+            # wrapper multiplies by sample_env(direction, level)); on
+            # envmap-free scenes the record stays zero-weighted outside.
+            # Miss lanes were not shaded this bounce, so atten/d still
+            # hold their at-miss values.
+            miss = active & (~is_hit)
+            for c in range(3):
+                matten[c] = jnp.where(miss, atten[c], matten[c])
             active = active & is_hit & (~killed)
+            return _flat(o, d, atten, color, counts, active, acc_rough,
+                         matten, stack)
+
+        carry = jax.lax.fori_loop(
+            0, max_bounces + 1, bounce_body,
+            _flat(o, d, atten, color, counts, active, acc_rough, matten,
+                  stack),
+        )
+        (o, d, atten, color, counts, active, acc_rough, matten) = carry[:8]
 
         outr_ref[:] = color[0]
         outg_ref[:] = color[1]
         outb_ref[:] = color[2]
+        mar_ref[:] = matten[0]
+        mag_ref[:] = matten[1]
+        mab_ref[:] = matten[2]
+        mrough_ref[:] = acc_rough
+        odx_ref[:] = d[0]
+        ody_ref[:] = d[1]
+        odz_ref[:] = d[2]
 
     return kernel
 
@@ -483,13 +792,22 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
 # ---------------------------------------------------------------------------
 
 def fused_supported(scene: SceneData, settings: RenderSettings) -> bool:
-    """Static eligibility for the fused megakernel path."""
+    """Static eligibility for the fused megakernel path.
+
+    Transmissive scenes (in-kernel medium stack) and environment maps
+    (deferred-miss shading) are in scope; NEE variants are not — they
+    need per-bounce shadow rays against tables that do not fit the
+    kernel, so those fall back to the lockstep/wavefront schedulers."""
+    # mirror trace._use_nee / _use_light_nee exactly: NEE only activates
+    # when the flag AND its scene tables are present
+    env_nee = (settings.use_envmap and settings.env_importance_sampling
+               and scene.env_cdf is not None and bool(scene.env_mips))
+    light_nee = (settings.light_importance_sampling
+                 and scene.lights is not None)
     return (
         settings.debug_mode == DebugMode.NONE
-        and not settings.use_envmap
-        and not settings.env_importance_sampling
-        and not settings.light_importance_sampling
-        and not scene.any_transmissive
+        and not env_nee
+        and not light_nee
         and scene.num_triangles <= MAX_TRIS
         and scene.num_spheres <= MAX_SPHERES
         and scene.materials.count <= MAX_MATERIALS
@@ -510,9 +828,10 @@ def _scene_tables(scene: SceneData):
             mats.emissive[:, :3] * mats.emissive[:, 3:4],  # 9:12 premult
             mats.ior[:, None],                             # 12
             mats.absorption,                               # 13:16
+            mats.priority.astype(jnp.float32)[:, None],    # 16 (small ints)
         ],
         axis=1,
-    ).astype(jnp.float32)  # [K, 16]
+    ).astype(jnp.float32)  # [K, 17]
 
     if scene.num_triangles:
         tv = scene.tri_verts_world
@@ -552,6 +871,7 @@ def trace_color_fused(
     settings: RenderSettings,
     sublanes: int = DEFAULT_SUBLANES,
     interpret: bool | None = None,
+    stack_depth: int = STACK_DEPTH,
 ) -> jnp.ndarray:
     """Fused megakernel forward: [N, 3] radiance (color only — the fast
     path has debug views off by eligibility). Forward-only; see
@@ -601,7 +921,8 @@ def trace_color_fused(
 
     kernel = _make_kernel(
         settings, scene.num_triangles, scene.num_spheres,
-        scene.materials.count,
+        scene.materials.count, scene.any_transmissive,
+        stack_depth=stack_depth,
     )
 
     rows = npad // LANES
@@ -620,10 +941,10 @@ def trace_color_fused(
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
             ray_spec, ray_spec,
         ],
-        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_specs=(ray_spec,) * 10,
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
-            for _ in range(3)
+            for _ in range(10)
         ),
         interpret=interpret,
     )(far_arr, tri_tab, trin_tab, sph_tab, mat_tab,
@@ -631,6 +952,26 @@ def trace_color_fused(
 
     col = jnp.stack([outs[0].reshape(-1)[:n], outs[1].reshape(-1)[:n],
                      outs[2].reshape(-1)[:n]], axis=-1)
+
+    # Deferred-miss sky shading (trace_ray compute:938-946): a ray misses
+    # at most once — at its death — so one post-kernel XLA pass adds
+    # sample_env(miss_dir, level) * miss_attenuation, with the
+    # accumulated-roughness mip bias computed exactly like the lockstep
+    # tracer's (trace._pool_bounce).
+    if settings.use_envmap and scene.env_mips:
+        matten = jnp.stack(
+            [outs[3].reshape(-1)[:n], outs[4].reshape(-1)[:n],
+             outs[5].reshape(-1)[:n]], axis=-1)
+        m_rough = outs[6].reshape(-1)[:n]
+        m_dir = jnp.stack(
+            [outs[7].reshape(-1)[:n], outs[8].reshape(-1)[:n],
+             outs[9].reshape(-1)[:n]], axis=-1)
+        if settings.mip_importance_bias:
+            level = (settings.env_mip_level
+                     + m_rough * settings.mip_importance_range)
+        else:
+            level = jnp.full((n,), settings.env_mip_level, jnp.float32)
+        col = col + sample_env(scene.env_mips, m_dir, level) * matten
     return col
 
 

@@ -120,8 +120,13 @@ def sample_env_mip(mip: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     wy = fy - y0
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     x1i = jnp.mod(x0i + 1, w)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    # Clamp the two row indices INDEPENDENTLY from the unclamped y0:
+    # above the top texel center y0 = -1 must give (0, 0), not (0, 1) —
+    # clamping y0 first would reintroduce a discontinuity at the pole
+    # rows that a 1-ulp change in v (eager vs jit acos) can cross.
+    y0u = y0.astype(jnp.int32)
+    y0i = jnp.clip(y0u, 0, h - 1)
+    y1i = jnp.clip(y0u + 1, 0, h - 1)
     flat = mip.reshape(-1, 3)
     c00 = flat[y0i * w + x0i]
     c01 = flat[y0i * w + x1i]

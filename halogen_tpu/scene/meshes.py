@@ -179,14 +179,41 @@ def _scale_translate(s, t):
     return m
 
 
-def glass_dragon_scene(tris: int = 20480) -> Scene:
+def real_dragon_mesh():
+    """The reference's actual Dragon_8k.fbx geometry (8,712 triangles,
+    `/root/reference/Assets/Models/Dragon_8k.fbx`, used by the Testing
+    Scene's Dragon group). Loaded from a committed npz fixture converted
+    once by `scene/fbx.py::load_fbx_geometry`; falls back to parsing the
+    reference FBX directly when the fixture is absent. Returns
+    (verts [N,3] f32 normalized to a 2-unit box, faces [M,3] i32)."""
+    import pathlib
+
+    fixture = pathlib.Path(__file__).parent / "assets" / "dragon_8k.npz"
+    if fixture.exists():
+        data = np.load(fixture)
+        return data["verts"], data["faces"]
+    from halogen_tpu.scene.fbx import load_fbx_geometry, normalized
+
+    v, f = load_fbx_geometry(
+        "/root/reference/Assets/Models/Dragon_8k.fbx")
+    return normalized(v, 2.0).astype(np.float32), f
+
+
+def glass_dragon_scene(tris: int | None = None) -> Scene:
     """BASELINE ladder config 4: glass dragon in a Cornell shell — nested
-    dielectrics, Beer-Lambert absorption, per-type bounce limits, RR."""
+    dielectrics, Beer-Lambert absorption, per-type bounce limits, RR.
+
+    Uses the reference's real Dragon_8k geometry by default; pass `tris`
+    to substitute the procedural stand-in at a chosen triangle count
+    (e.g. for BVH stress tests)."""
     from halogen_tpu.scene.cornell import cornell_box
 
     s = cornell_box(with_spheres=False)
-    sub = max(2, int(round(np.log(tris / 20.0) / np.log(4.0))))
-    verts, faces = dragon_mesh(sub)
+    if tris is None:
+        verts, faces = real_dragon_mesh()
+    else:
+        sub = max(2, int(round(np.log(tris / 20.0) / np.log(4.0))))
+        verts, faces = dragon_mesh(sub)
     glass = Material.glass(ior=1.5, subsurface=(0.85, 0.95, 1.0),
                            absorption=0.6, priority=1)
     s.add_mesh(verts, faces, glass,
@@ -196,7 +223,7 @@ def glass_dragon_scene(tris: int = 20480) -> Scene:
     return s
 
 
-def dragons_hero_scene(n: int = 3, tris: int = 5120) -> Scene:
+def dragons_hero_scene(n: int = 3, tris: int | None = None) -> Scene:
     """BASELINE ladder config 5: several dragons, mixed materials, under a
     sky — the multi-host 4096spp hero scene."""
     s = Scene()
@@ -207,7 +234,8 @@ def dragons_hero_scene(n: int = 3, tris: int = 5120) -> Scene:
         np.array([[0, 1, 2], [0, 2, 3]], np.int32),
         floor,
     )
-    sub = max(2, int(round(np.log(tris / 20.0) / np.log(4.0))))
+    sub = None if tris is None else max(
+        2, int(round(np.log(tris / 20.0) / np.log(4.0))))
     mats = [
         Material.metal((0.95, 0.64, 0.54), roughness=0.15),  # copper
         Material.glass(ior=1.5, subsurface=(0.9, 1.0, 0.95), absorption=0.4,
@@ -217,7 +245,12 @@ def dragons_hero_scene(n: int = 3, tris: int = 5120) -> Scene:
         Material.emissive((1.0, 0.6, 0.3), 3.0),
     ]
     for i in range(n):
-        verts, faces = dragon_mesh(sub, seed=11 + i)
+        if sub is None:
+            # real Dragon_8k instances (per-mesh transforms differ, so
+            # each instance still exercises its own BVH + normal matrix)
+            verts, faces = real_dragon_mesh()
+        else:
+            verts, faces = dragon_mesh(sub, seed=11 + i)
         x = (i - (n - 1) / 2.0) * 1.6
         s.add_mesh(verts, faces, mats[i % len(mats)],
                    transform=_scale_translate(0.6, (x, -0.4, -i * 0.7)))

@@ -1,0 +1,221 @@
+"""TPU-mode evidence runner: Pallas kernel parity + per-config throughput
+measured on the real chip, recorded as committed artifacts.
+
+Covers the two things CPU CI cannot: (a) proof that the Pallas kernels
+(`kernels/megakernel.py` fused path, `kernels/bvh_pallas.py` traversal)
+compile and match the lockstep integrator ON HARDWARE (not interpret
+mode), and (b) the BASELINE.json ladder-config throughput matrix (the
+reference's HUD metric, `HalogenRenderFeature.cs:97`: primary rays =
+spp*W*H per frame).
+
+Usage (on a TPU host):
+    python scripts/tpu_evidence.py [--only KEY] [--out perf/tpu_evidence.jsonl]
+
+Results append to a JSONL file (one record per check, so partial runs
+survive); `PERF.md` is the human-readable summary regenerated from it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def _record(path, rec):
+    rec = dict(rec)
+    rec["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def _existing(path):
+    keys = set()
+    if pathlib.Path(path).exists():
+        for line in open(path):
+            try:
+                keys.add(json.loads(line)["key"])
+            except Exception:
+                pass
+    return keys
+
+
+def _time_frames(render, frames):
+    import jax
+
+    jax.block_until_ready(render(0))  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for f in range(frames):
+        out = render(f + 1)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="perf/tpu_evidence.jsonl")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import halogen_tpu as ht
+    from halogen_tpu.config import Fused, Intersector
+    from halogen_tpu.scene import cornell, meshes
+    from halogen_tpu.scene.envmap import Envmap
+
+    backend = jax.default_backend()
+    dev = str(jax.devices()[0])
+    pathlib.Path(args.out).parent.mkdir(exist_ok=True)
+    done = _existing(args.out)
+
+    def want(key):
+        if args.only and args.only != key:
+            return False
+        return key not in done
+
+    cam = ht.make_camera(position=(0, 0, 3.2), target=(0, 0, 0), fov_deg=40)
+
+    # ------------------------------------------------------------------
+    # 1. Fused megakernel parity ON TPU (compiled Mosaic, not interpret):
+    #    opaque, glass (medium stack), and envmap (deferred miss) scenes.
+    # ------------------------------------------------------------------
+    parity_cases = {
+        "parity_fused_cornell": (
+            lambda: cornell.cornell_box(glossy=True).build(),
+            dict()),
+        "parity_fused_glass": (
+            lambda: cornell.glass_sphere_box().build(),
+            dict(max_bounces=8)),
+        "parity_fused_envmap": (
+            lambda: cornell.cornell_box(glossy=True).build(
+                envmap=Envmap.gradient_sky()),
+            dict(use_envmap=True)),
+    }
+    for key, (mk_scene, over) in parity_cases.items():
+        if not want(key):
+            continue
+        scene = mk_scene()
+        st = ht.RenderSettings(width=64, height=64, samples_per_pixel=2,
+                               max_bounces=over.get("max_bounces", 5),
+                               ray_chunk_size=4096, **{
+                                   k: v for k, v in over.items()
+                                   if k != "max_bounces"})
+        a = np.asarray(ht.render_frame(scene, cam, st.replace(
+            fused=Fused.OFF), 1))
+        b = np.asarray(ht.render_frame(scene, cam, st.replace(
+            fused=Fused.FORCE), 1))
+        mad = float(np.abs(a - b).max())
+        _record(args.out, {
+            "key": key, "backend": backend, "device": dev,
+            "max_abs_diff": mad, "mean": float(a.mean()),
+            "ok": bool(mad < 1e-4 and np.isfinite(b).all()),
+        })
+
+    # ------------------------------------------------------------------
+    # 2. Pallas shared-stack BVH traversal parity ON TPU for a
+    #    >brute-threshold scene, vs the gather-free brute intersector.
+    # ------------------------------------------------------------------
+    if want("parity_pallas_traversal"):
+        scene = meshes.dragons_hero_scene(2, tris=5120).build(
+            envmap=Envmap.gradient_sky())
+        dcam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                              fov_deg=45)
+        st = ht.RenderSettings(width=64, height=64, samples_per_pixel=2,
+                               max_bounces=3, use_envmap=True,
+                               ray_chunk_size=4096, fused=Fused.OFF)
+        a = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            intersector=Intersector.BRUTE), 1))
+        b = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            intersector=Intersector.PALLAS), 1))
+        mad = float(np.abs(a - b).max())
+        _record(args.out, {
+            "key": "parity_pallas_traversal", "backend": backend,
+            "device": dev, "tris": scene.num_triangles,
+            "max_abs_diff": mad, "mean": float(a.mean()),
+            "ok": bool(mad < 2e-3 and np.isfinite(b).all()),
+        })
+
+    # ------------------------------------------------------------------
+    # 3. Ladder-config throughput matrix (HUD Mrays/s, single chip).
+    # ------------------------------------------------------------------
+    big_chunk = 262144
+    dragon_cam = ht.make_camera(position=(0, 1.5, 5.0),
+                                target=(0, -0.3, 0), fov_deg=45)
+    perf_cases = {
+        # BASELINE ladder 1: Cornell diffuse 256^2 4spp 2 bounces
+        "perf_cornell_256": (
+            lambda: cornell.cornell_box().build(), cam,
+            ht.RenderSettings(width=256, height=256, samples_per_pixel=4,
+                              max_bounces=2, ray_chunk_size=65536), 16),
+        # ladder 2: Cornell glossy/emissive 512^2 64spp (+DoF in CLI)
+        "perf_cornell_glossy_512": (
+            lambda: cornell.cornell_box(glossy=True).build(), cam,
+            ht.RenderSettings(width=512, height=512, samples_per_pixel=64,
+                              max_bounces=6, ray_chunk_size=big_chunk), 4),
+        # ladder 3: envmap importance sampling 1024^2 (NEE -> lockstep path)
+        "perf_envmap_1024": (
+            lambda: cornell.material_demo_spheres().build(
+                envmap=Envmap.gradient_sky()),
+            ht.make_camera(position=(0, 2.0, 6.0), target=(0, 0, -1),
+                           fov_deg=45),
+            ht.RenderSettings(width=1024, height=1024, samples_per_pixel=16,
+                              max_bounces=4, use_envmap=True,
+                              env_importance_sampling=True, env_mip_level=0,
+                              ray_chunk_size=big_chunk), 2),
+        # ladder 3 variant: same scene on the fused path (BRDF-only MC)
+        "perf_envmap_1024_fused": (
+            lambda: cornell.material_demo_spheres().build(
+                envmap=Envmap.gradient_sky()),
+            ht.make_camera(position=(0, 2.0, 6.0), target=(0, 0, -1),
+                           fov_deg=45),
+            ht.RenderSettings(width=1024, height=1024, samples_per_pixel=16,
+                              max_bounces=4, use_envmap=True,
+                              ray_chunk_size=big_chunk), 2),
+        # ladder 4: glass dragon (20480 tris, nested dielectrics, RR)
+        "perf_glass_dragon": (
+            lambda: meshes.glass_dragon_scene().build(), dragon_cam,
+            ht.RenderSettings(width=512, height=512, samples_per_pixel=32,
+                              max_bounces=12, ray_chunk_size=big_chunk), 2),
+        # ladder 5 (single-chip slice): dragons hero 512^2 64spp
+        "perf_dragons_hero": (
+            lambda: meshes.dragons_hero_scene().build(
+                envmap=Envmap.gradient_sky()), dragon_cam,
+            ht.RenderSettings(width=512, height=512, samples_per_pixel=64,
+                              max_bounces=8, use_envmap=True,
+                              ray_chunk_size=big_chunk), 2),
+    }
+    for key, (mk_scene, kcam, st, frames) in perf_cases.items():
+        if not want(key):
+            continue
+        scene = mk_scene()
+        t0 = time.perf_counter()
+
+        def render(f, scene=scene, kcam=kcam, st=st):
+            return ht.render_frame(scene, kcam, st, jnp.uint32(f))
+
+        dt = _time_frames(render, frames)
+        compile_s = time.perf_counter() - t0 - dt
+        rays = st.samples_per_pixel * st.width * st.height * frames
+        _record(args.out, {
+            "key": key, "backend": backend, "device": dev,
+            "tris": scene.num_triangles, "spheres": scene.num_spheres,
+            "width": st.width, "spp": st.samples_per_pixel,
+            "bounces": st.max_bounces, "frames": frames,
+            "mrays_per_s": round(rays / dt / 1e6, 2),
+            "compile_s": round(compile_s, 1),
+        })
+
+    print("done", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

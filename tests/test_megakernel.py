@@ -121,15 +121,49 @@ def test_render_pixels_fused_dispatch_matches():
 
 
 def test_fused_eligibility_gates():
-    """Scenes outside the fused scope must be rejected statically."""
+    """NEE scenes and big scenes must be rejected statically; glass and
+    plain envmap scenes are in scope."""
     st = ht.RenderSettings()
     glass = cornell.glass_sphere_box().build()
-    assert not fused_supported(glass, st)  # transmissive
-    big = cornell.cornell_box().build()
-    assert not fused_supported(
-        big, st.replace(use_envmap=True)) or not st.use_envmap
+    assert fused_supported(glass, st)  # in-kernel medium stack
     env_scene = cornell.cornell_box().build(envmap=Envmap.gradient_sky())
-    assert not fused_supported(env_scene, st.replace(use_envmap=True))
+    assert fused_supported(env_scene, st.replace(use_envmap=True))
+    # envmap NEE needs per-bounce shadow rays -> lockstep only
+    assert not fused_supported(env_scene, st.replace(
+        use_envmap=True, env_importance_sampling=True))
+    # debug views -> lockstep only
+    assert not fused_supported(glass, st.replace(
+        debug_mode=ht.DebugMode.ALBEDO))
     ok = cornell.cornell_box(glossy=True).build()
     assert fused_supported(ok, st)
     assert ok.num_triangles <= MAX_TRIS
+
+
+def test_fused_glass_matches_lockstep():
+    """Nested-dielectric path (in-kernel medium stack): bit-parity with
+    the lockstep tracer on the glass-in-glass fixture. stack_depth=4 is
+    exact here (nesting never exceeds 3) and keeps the interpret-mode
+    compile small."""
+    from halogen_tpu.kernels.megakernel import trace_color_fused as tcf
+
+    scene = cornell.glass_sphere_box().build()
+    settings = ht.RenderSettings(width=8, height=8, max_bounces=4)
+    o, d, far, sidx, seed = _rays(settings, w=8)
+    ref = trace_rays(scene, o, d, far, sidx, seed, settings).color
+    fus = tcf(scene, o, d, CAM.far, sidx, seed, settings, stack_depth=4)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fus),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_envmap_matches_lockstep():
+    """Deferred-miss environment shading (incl. the accumulated-roughness
+    mip bias) must match the lockstep tracer's in-loop sky sampling."""
+    scene = cornell.cornell_box(glossy=True).build(
+        envmap=Envmap.gradient_sky())
+    settings = ht.RenderSettings(width=8, height=8, max_bounces=3,
+                                 use_envmap=True, env_mip_level=1)
+    o, d, far, sidx, seed = _rays(settings, w=8)
+    ref = trace_rays(scene, o, d, far, sidx, seed, settings).color
+    fus = trace_color_fused(scene, o, d, CAM.far, sidx, seed, settings)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fus),
+                               atol=1e-5, rtol=1e-5)
