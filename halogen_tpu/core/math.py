@@ -325,6 +325,58 @@ def schlick_adjusted_specular(
     return jnp.where(tir, max_spec, out)
 
 
+def procedural_glossy_pdf(
+    omega: jnp.ndarray,
+    mirror: jnp.ndarray,
+    alpha: jnp.ndarray,
+    normal: jnp.ndarray,
+) -> jnp.ndarray:
+    """Exact solid-angle pdf of the reference's procedural glossy lobe.
+
+    The reference samples glossy directions as
+    `normalize(lerp(reflect(d,n), dd, roughness^2))` with dd cosine-
+    distributed about n (`HalgoenCompute.compute:691-704` via
+    lambertian_scatter, compute:491-501). Writing a = roughness^2, the
+    pre-normalization point v = (1-a)*mirror + a*dd lies on a sphere of
+    radius a centered at c = (1-a)*mirror; normalization projects it to
+    the unit direction omega. The density therefore transforms with the
+    sphere-to-solid-angle Jacobian
+
+        pdf(omega) = sum_roots  cos(dd_i . n)/pi * t_i^2 / (a^2 |omega . dd_i|)
+
+    where t_i are the positive roots of |omega t - c| = a, i.e.
+    t^2 - 2 (1-a)(omega.mirror) t + ((1-a)^2 - a^2) = 0, and
+    dd_i = (omega t_i - c)/a are the cosine-lobe preimages. Two roots
+    contribute when the origin lies outside the offset sphere (a < 1/2).
+    At a = 1 this reduces to the plain cosine pdf; at a = 0 the lobe is
+    a delta (this function returns 0 — deltas get MIS weight 1 and no
+    NEE coverage). This closed form is what makes MIS with the
+    reference's exact glossy sampling possible (its own MIS TODO,
+    HalgoenCompute.compute:19).
+    """
+    a1 = jnp.asarray(alpha)
+    b = (1.0 - a1) * dot(omega, mirror)
+    c = (1.0 - a1) ** 2 - a1 ** 2
+    disc = b * b - c
+    eps = np.float32(1e-6)
+    exists = (a1 > eps) & (disc >= 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.maximum(a1, eps)
+    total = jnp.zeros_like(b)
+    for t in (b - sq, b + sq):
+        valid = exists & (t > eps)
+        t_safe = jnp.where(valid, t, 1.0)
+        dd = (omega * t_safe[..., None]
+              - (1.0 - a_safe)[..., None] * mirror) / a_safe[..., None]
+        cos_dd = jnp.maximum(dot(dd, normal), 0.0)
+        dens = (cos_dd * np.float32(1.0 / np.pi)
+                * t_safe * t_safe
+                / (a_safe * a_safe
+                   * jnp.maximum(jnp.abs(dot(omega, dd)), eps)))
+        total = total + jnp.where(valid, dens, 0.0)
+    return total
+
+
 def lambertian_scatter(normal: jnp.ndarray, random_unit: jnp.ndarray) -> jnp.ndarray:
     """Cosine-ish scatter: normalize(normal + uniform unit vector), guarding
     the degenerate opposite-vector case (HalgoenCompute.compute:491-501)."""

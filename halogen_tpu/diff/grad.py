@@ -170,11 +170,17 @@ def fit_materials(
     callback=None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 25,
+    mesh=None,
 ):
     """Inverse-rendering driver: fit material (and optionally envmap)
     parameters to a target image. Returns (params, losses). When
     `checkpoint_path` exists the run resumes from it; progress is saved
-    every `checkpoint_every` steps."""
+    every `checkpoint_every` steps.
+
+    `mesh`: a (px, spp) device mesh from `parallel.sharding` — the
+    gradient step then shards pixels/spp and psums grads across the mesh
+    (same optimizer + projection as the single-device path; envmap
+    optimization is single-device only for now)."""
     import optax
 
     # Optimize over the float-only material surface (optax-safe); int
@@ -195,12 +201,25 @@ def fit_materials(
             out["env_mips"] = params["env_mips"]
         return out
 
+    if mesh is not None and optimize_env:
+        raise NotImplementedError(
+            "sharded fit optimizes materials only (envmap grads need "
+            "replicated-texture psum plumbing)")
+
     @jax.jit
     def step(params, opt_state, frame):
-        loss, grads = jax.value_and_grad(
-            lambda p: render_loss(to_render_params(p), scene, camera,
-                                  settings, target, frame)
-        )(params)
+        if mesh is not None:
+            from halogen_tpu.parallel.sharding import loss_and_grads_sharded
+
+            loss, g = loss_and_grads_sharded(
+                params["material_params"], scene, camera, settings,
+                target, frame, mesh)
+            grads = {"material_params": g}
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: render_loss(to_render_params(p), scene, camera,
+                                      settings, target, frame)
+            )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # Projected gradient descent: stay inside the physical domain.

@@ -107,6 +107,7 @@ class ScatTuple(NamedTuple):
     direction: jnp.ndarray  # [N, 3]
     attenuation: jnp.ndarray  # [N, 3]
     bounce_type: jnp.ndarray  # [N] int32 (0 diffuse / 1 specular / 2 transmissive)
+    spec_prob: jnp.ndarray  # [N] lobe-selection probability (for NEE/MIS)
 
 
 def material_brdf(
@@ -159,7 +160,7 @@ def material_brdf(
     bounce_type = jnp.where(
         do_refraction, 2, jnp.where(do_spec, 1, 0)
     ).astype(jnp.int32)
-    return ScatTuple(origin, direction, attenuation, bounce_type)
+    return ScatTuple(origin, direction, attenuation, bounce_type, spec_prob)
 
 
 class ShadeResult(NamedTuple):
@@ -168,6 +169,7 @@ class ShadeResult(NamedTuple):
     attenuation: jnp.ndarray  # [N, 3] including absorption
     bounce_type: jnp.ndarray  # [N] int32
     stack: MediumStack
+    spec_prob: jnp.ndarray  # [N] reflective-branch lobe-selection prob
 
 
 def evaluate_material_hit(
@@ -272,7 +274,8 @@ def evaluate_material_hit(
         (active & absorbing)[:, None], attenuation * absorb, attenuation
     )
 
-    return ShadeResult(origin, direction, attenuation, bounce_type, stack2)
+    return ShadeResult(origin, direction, attenuation, bounce_type, stack2,
+                       scat.spec_prob)
 
 
 def _evaluate_material_hit_opaque(
@@ -298,4 +301,4 @@ def _evaluate_material_hit_opaque(
         scat.attenuation,
     )
     return ShadeResult(scat.origin, scat.direction, attenuation,
-                       scat.bounce_type, stack)
+                       scat.bounce_type, stack, scat.spec_prob)

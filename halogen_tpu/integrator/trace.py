@@ -44,7 +44,11 @@ import jax
 import jax.numpy as jnp
 
 from halogen_tpu.config import DebugMode, Fused, RenderSettings, SamplerKind
-from halogen_tpu.core.math import gather_rows
+from halogen_tpu.core.math import (
+    gather_rows,
+    procedural_glossy_pdf,
+    reflect,
+)
 from halogen_tpu.core.medium import MediumStack
 from halogen_tpu.core.types import SceneData
 from halogen_tpu.integrator.camera import Camera, generate_rays
@@ -243,35 +247,50 @@ def _pool_bounce(
     atten = jnp.where(sm, carry.attenuation * shaded.attenuation,
                       carry.attenuation)
 
-    # --- envmap next-event estimation + MIS (capability beyond the
-    # reference; see config.env_importance_sampling). Restricted to
-    # pure-diffuse lanes (metallic 0, opaque): there the lobe-selection
-    # probability is 1, so f = albedo/pi and the continuation density is
-    # cos/pi — the balance heuristic below is exactly unbiased. Other
-    # lobes keep plain BRDF sampling with weight 1.
-    diffuse_lane = shade_mask & (mat.metallic <= 0.0) & (mat.alpha >= 1.0)
+    # --- next-event estimation + MIS (capability beyond the reference;
+    # its own MIS TODO, HalgoenCompute.compute:19). Covers every OPAQUE
+    # lobe: the continuation strategy's solid-angle density has a closed
+    # form — (1-ps)*cos/pi for the diffuse branch plus ps times the
+    # procedural glossy lobe's exact pdf (core.math.procedural_glossy_pdf,
+    # the cosine density pushed through the reference's normalize-lerp
+    # map). Pure mirrors (roughness 0) are a delta: no NEE coverage,
+    # continuation weight 1. Transmissive lanes keep plain BRDF sampling.
+    surf_lane = shade_mask & (mat.alpha >= 1.0)
     if use_nee or use_lnee:
-        # cosine pdf of the chosen continuation direction (shared MIS
-        # state). stop_gradient: MIS weights belong to the detached sampling
-        # strategy — and new_dir's dependence on roughness/ior runs through
-        # refract/normalize whose backward blows up at kinks (sqrt(0)).
-        new_pcos = jax.lax.stop_gradient(jnp.maximum(
-            jnp.sum(hit.normal * new_dir, axis=-1), 0.0
-        ) * np.float32(1.0 / np.pi))
-        prev_pcos = jnp.where(
-            diffuse_lane & (shaded.bounce_type == 0), new_pcos, 0.0)
+        # Sampling-strategy quantities are DETACHED (stop_gradient):
+        # pdfs/MIS weights belong to the detached sampling decomposition,
+        # and their kinks (sqrt at disc=0, schlick at TIR) would blow up
+        # the backward pass. Value factors (albedo/specular) stay live.
+        ps = jax.lax.stop_gradient(shaded.spec_prob)
+        a2 = jax.lax.stop_gradient(mat.roughness * mat.roughness)
+        mirror = jax.lax.stop_gradient(reflect(carry.direction, hit.normal))
+
+        def mix_pdf(wdir):
+            """Continuation density of the reference's procedural
+            mixture at direction wdir (detached)."""
+            c = jnp.maximum(jnp.sum(hit.normal * wdir, axis=-1), 0.0)
+            p_gl = procedural_glossy_pdf(wdir, mirror, a2, hit.normal)
+            return jax.lax.stop_gradient(
+                (1.0 - ps) * c * np.float32(1.0 / np.pi) + ps * p_gl)
+
+        cos_nd = jnp.sum(hit.normal * new_dir, axis=-1)
+        covered = (
+            surf_lane & (cos_nd > 0.0) & (shaded.bounce_type != 2)
+            & ~((shaded.bounce_type == 1) & (a2 <= 1e-6))  # mirror delta
+        )
+        prev_pcos = jnp.where(covered, mix_pdf(new_dir), 0.0)
     else:
         prev_pcos = carry.prev_pcos
+        covered = jnp.zeros_like(shade_mask)
     prev_nee = carry.prev_nee
     prev_lnee = carry.prev_lnee
 
     if use_nee:
-        nee_lane = diffuse_lane
         dim_nee = jnp.uint32(sob.DIM_ENV_NEE_BASE) + stride
         nu, nv = s2(sample_idx, dim_nee, seed)
         ldir, lpdf = sample_env_direction(scene.env_cdf, nu, nv)
         cos_l = jnp.sum(hit.normal * ldir, axis=-1)
-        cand = nee_lane & (cos_l > 0.0) & (lpdf > 1e-12)
+        cand = surf_lane & (cos_l > 0.0) & (lpdf > 1e-12)
         sh_origin = hit.pos + hit.normal * 1e-4
         sh_hit, _, _ = intersect_scene(scene, sh_origin, ldir, far, settings)
         visible = sh_hit.t >= far
@@ -281,15 +300,25 @@ def _pool_bounce(
         # -> giant-weight fireflies. The env_mip_level knob remains a
         # BRDF-path-only bias, as in the reference.
         radiance = sample_env_mip_nearest(scene.env_mips[0], ldir)
-        p_cos = cos_l * np.float32(1.0 / np.pi)
-        w_nee = lpdf / (lpdf + p_cos)
-        f_cos = mat.albedo * (cos_l * np.float32(1.0 / np.pi))[:, None]
+        p_gl_l = jax.lax.stop_gradient(
+            procedural_glossy_pdf(ldir, mirror, a2, hit.normal))
+        p_mix_l = jax.lax.stop_gradient(
+            (1.0 - ps) * jnp.maximum(cos_l, 0.0) * np.float32(1.0 / np.pi)
+            + ps * p_gl_l)
+        # f*cos of the procedural model: the sampled-attenuation identity
+        # f*cos = density * attenuation per branch
+        f_cos = (
+            mat.albedo * ((1.0 - ps) * cos_l
+                          * np.float32(1.0 / np.pi))[:, None]
+            + mat.specular * (ps * p_gl_l)[:, None]
+        )
+        w_nee = lpdf / (lpdf + p_mix_l)
         contrib = (
             carry.attenuation * f_cos * radiance
             * (w_nee / jnp.maximum(lpdf, 1e-12))[:, None]
         )
         color = color + jnp.where((cand & visible)[:, None], contrib, 0.0)
-        prev_nee = nee_lane & (shaded.bounce_type == 0)
+        prev_nee = covered
 
     # --- area-light next-event estimation + MIS (see scene/lights.py):
     # one emissive triangle OR sphere per diffuse bounce, chosen by the
@@ -351,7 +380,7 @@ def _pool_bounce(
         pdf_sa = jnp.where(is_tri, pdf_sa_t, pdf_sa_s)
         ok = jnp.where(is_tri, ok_t, ok_s)
         cos_s = jnp.sum(hit.normal * wi, axis=-1)
-        cand_l = diffuse_lane & ok & (cos_s > 0.0)
+        cand_l = surf_lane & ok & (cos_s > 0.0)
 
         # shadow ray: visible iff nothing sits in front of the light —
         # the closest hit is the sampled light itself (or beyond the
@@ -373,16 +402,24 @@ def _pool_bounce(
         )
         l_emissive = gather_rows(scene.materials.emissive, lmat_id)  # [N, 4]
         l_em = l_emissive[:, :3] * l_emissive[:, 3][:, None]
-        p_cos_l = cos_s * np.float32(1.0 / np.pi)
-        w_l = pdf_sa / jnp.maximum(pdf_sa + p_cos_l, 1e-12)
-        f_cos_l = mat.albedo * (cos_s * np.float32(1.0 / np.pi))[:, None]
+        p_gl_s = jax.lax.stop_gradient(
+            procedural_glossy_pdf(wi, mirror, a2, hit.normal))
+        p_mix_s = jax.lax.stop_gradient(
+            (1.0 - ps) * jnp.maximum(cos_s, 0.0) * np.float32(1.0 / np.pi)
+            + ps * p_gl_s)
+        w_l = pdf_sa / jnp.maximum(pdf_sa + p_mix_s, 1e-12)
+        f_cos_l = (
+            mat.albedo * ((1.0 - ps) * cos_s
+                          * np.float32(1.0 / np.pi))[:, None]
+            + mat.specular * (ps * p_gl_s)[:, None]
+        )
         contrib_l = (
             carry.attenuation * f_cos_l * l_em
             * (w_l / jnp.maximum(pdf_sa, 1e-12))[:, None]
         )
         color = color + jnp.where(
             (cand_l & visible_l)[:, None], contrib_l, 0.0)
-        prev_lnee = diffuse_lane & (shaded.bounce_type == 0)
+        prev_lnee = covered
 
     # Bounce-type counts (compute:796,807)
     onehot = (

@@ -136,24 +136,27 @@ def render_frame_sharded(
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("settings", "mesh"))
-def train_step_sharded(
-    materials,  # MaterialTable (differentiable params)
+def loss_and_grads_sharded(
+    mat_params: dict,  # float-only material param dict (diff.grad)
     scene: SceneData,
     camera: Camera,
     settings: RenderSettings,
     target: jnp.ndarray,  # [H, W, 3]
     frame: jnp.ndarray | int,
     mesh: Mesh,
-    lr: float = 1e-2,
 ):
-    """One SGD step of inverse rendering, sharded over (pixels, spp).
+    """Sharded (loss, grads) of the inverse-rendering MSE objective.
 
     Each device renders its pixel/spp shard, computes the local MSE
     contribution against its slice of the target, backprops, and the
-    material gradients are psum'd across the whole mesh — the renderer's
-    analog of data-parallel gradient all-reduce. Returns (new_materials,
-    loss).
+    parameter gradients are psum'd across the whole mesh — the renderer's
+    analog of data-parallel gradient all-reduce. Operates on the same
+    float-only material param dict as `diff.grad.fit_materials`, so the
+    single-device and sharded trainers share one optimizer/projection
+    stack (the update itself happens in the caller).
     """
+    from halogen_tpu.diff.grad import with_material_params
+
     n_px = mesh.shape["px"]
     n_spp = mesh.shape["spp"]
     spp = settings.samples_per_pixel
@@ -168,19 +171,20 @@ def train_step_sharded(
     valid = (jnp.arange(pix.shape[0]) < settings.num_pixels).astype(jnp.float32)
     frame = jnp.asarray(frame, jnp.uint32)
 
-    mat_spec = jax.tree.map(lambda _: P(), materials)
+    par_spec = jax.tree.map(lambda _: P(), mat_params)
     scene_spec = jax.tree.map(lambda _: P(), scene)
     cam_spec = jax.tree.map(lambda _: P(), camera)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(mat_spec, scene_spec, cam_spec, P(), P("px"), P("px"),
+        in_specs=(par_spec, scene_spec, cam_spec, P(), P("px"), P("px"),
                   P("px")),
-        out_specs=(mat_spec, P()),
+        out_specs=(P(), par_spec),
         check_rep=False,
     )
-    def _step(materials, scene, camera, frame, pix_local, tgt_local, valid_local):
+    def _step(mat_params, scene, camera, frame, pix_local, tgt_local,
+              valid_local):
         lane = jax.lax.axis_index("spp").astype(jnp.uint32)
 
         # Combine spp lanes BEFORE the loss so the objective is the MSE of
@@ -202,8 +206,9 @@ def train_step_sharded(
 
         spp_combine.defvjp(_combine_fwd, _combine_bwd)
 
-        def loss_fn(m):
-            s = dataclasses.replace(scene, materials=m)
+        def loss_fn(mp):
+            s = dataclasses.replace(
+                scene, materials=with_material_params(scene.materials, mp))
             col = render_pixels(
                 s, camera, settings, frame, pix_local,
                 spp_offset=lane * jnp.uint32(spp_local), spp_count=spp_local,
@@ -212,29 +217,46 @@ def train_step_sharded(
             err = (col - tgt_local) ** 2 * valid_local[:, None]
             return jnp.sum(err)
 
-        # allow_int: MaterialTable carries int32 leaves (ids/priorities);
-        # their grads come back as float0 and are skipped below.
-        local_loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
-            materials
-        )
-        is_f0 = lambda g: g.dtype == jax.dtypes.float0
+        local_loss, grads = jax.value_and_grad(loss_fn)(mat_params)
         # All-reduce over the full mesh: sum over pixel shards; sum over spp
         # shards too — each lane's grad is its 1/L cotangent share of the
         # combined-estimate loss, so the total is their sum.
-        grads = jax.tree.map(
-            lambda g: g if is_f0(g) else jax.lax.psum(g, "px"), grads
-        )
-        grads = jax.tree.map(
-            lambda g: g if is_f0(g) else jax.lax.psum(g, "spp"), grads
-        )
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, "px"), grads)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, "spp"), grads)
         loss = jax.lax.psum(local_loss, "px")
         loss = jax.lax.pmean(loss, "spp")
         denom = 3.0 * settings.num_pixels
-        new_mats = jax.tree.map(
-            lambda p, g: p if is_f0(g)
-            else (p - lr * g / denom).astype(p.dtype),
-            materials, grads,
-        )
-        return new_mats, loss / denom
+        grads = jax.tree.map(lambda g: g / denom, grads)
+        return loss / denom, grads
 
-    return _step(materials, scene, camera, frame, pix, tgt, valid)
+    return _step(mat_params, scene, camera, frame, pix, tgt, valid)
+
+
+def train_step_sharded(
+    materials,  # MaterialTable (differentiable params)
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    target: jnp.ndarray,  # [H, W, 3]
+    frame: jnp.ndarray | int,
+    mesh: Mesh,
+    lr: float = 1e-2,
+):
+    """One projected-SGD step of inverse rendering, sharded over
+    (pixels, spp). Thin wrapper over `loss_and_grads_sharded` using the
+    SAME float-param surface and domain projection as the single-device
+    trainer (`diff.grad.fit_materials`); int id/priority leaves never
+    move. Returns (new_materials, loss)."""
+    from halogen_tpu.diff.grad import (
+        material_params,
+        project_material_params,
+        with_material_params,
+    )
+
+    params = material_params(materials)
+    loss, grads = loss_and_grads_sharded(
+        params, scene, camera, settings, target, frame, mesh)
+    params = jax.tree.map(lambda p, g: (p - lr * g).astype(p.dtype),
+                          params, grads)
+    params = project_material_params(params)
+    return with_material_params(materials, params), loss

@@ -148,20 +148,66 @@ def sample_env(
     Bilinear within each mip plus a linear blend between the two mips
     bracketing `level` — the TPU equivalent of the reference's hardware
     trilinear `SampleLevel` on the environment cubemap
-    (HalgoenCompute.compute:196-204). Every resident mip's lookup is
-    computed and blended by weight — levels are few and static, so this
-    stays gather-light and branch-free (TPU-friendly). Integer `level`
-    inputs reduce to pure bilinear at that mip.
+    (HalgoenCompute.compute:196-204). Integer `level` inputs reduce to
+    pure bilinear at that mip.
+
+    Implementation: all mips concatenate into one flat texel atlas and
+    the per-ray tap indices address it directly, so each ray costs 8
+    gathers (4 bilinear taps x 2 bracketing mips) regardless of pyramid
+    depth — computing every mip's bilinear and masking (the obvious
+    branch-free form) was 3x the gather traffic and dominated
+    envmap-heavy frames on TPU (gathers, not FLOPs, are the cost).
     """
     if not env_mips:
         return jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
-    level = jnp.clip(level.astype(jnp.float32), 0.0,
-                     float(len(env_mips) - 1))
-    out = jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
-    for i, mip in enumerate(env_mips):
-        wgt = jnp.clip(1.0 - jnp.abs(level - float(i)), 0.0, 1.0)
-        out = out + sample_env_mip(mip, direction) * wgt[..., None]
-    return out
+    n_mips = len(env_mips)
+    level = jnp.clip(level.astype(jnp.float32), 0.0, float(n_mips - 1))
+    if n_mips == 1:
+        return sample_env_mip(env_mips[0], direction)
+
+    # static atlas layout
+    sizes = [(int(m.shape[0]), int(m.shape[1])) for m in env_mips]
+    offs = [0]
+    for h, w in sizes:
+        offs.append(offs[-1] + h * w)
+    atlas = jnp.concatenate([m.reshape(-1, 3) for m in env_mips], axis=0)
+    hs = jnp.asarray([h for h, _ in sizes], jnp.float32)
+    ws = jnp.asarray([w for _, w in sizes], jnp.float32)
+    off_arr = jnp.asarray(offs[:-1], jnp.int32)
+
+    l0 = jnp.floor(level).astype(jnp.int32)
+    l0 = jnp.clip(l0, 0, n_mips - 2)
+    frac = (level - l0.astype(jnp.float32))[..., None]
+    u, v = dir_to_equirect_uv(direction)
+
+    def bilin(li):
+        h = jnp.take(hs, li)
+        w = jnp.take(ws, li)
+        off = jnp.take(off_arr, li)
+        wi = w.astype(jnp.int32)
+        hi = h.astype(jnp.int32)
+        fx = u * w - 0.5
+        fy = v * h - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wx = (fx - x0)[..., None]
+        wy = (fy - y0)[..., None]
+        x0i = jnp.mod(x0.astype(jnp.int32), wi)
+        x1i = jnp.mod(x0i + 1, wi)
+        y0u = y0.astype(jnp.int32)
+        y0i = jnp.clip(y0u, 0, hi - 1)
+        y1i = jnp.clip(y0u + 1, 0, hi - 1)
+        c00 = atlas[off + y0i * wi + x0i]
+        c01 = atlas[off + y0i * wi + x1i]
+        c10 = atlas[off + y1i * wi + x0i]
+        c11 = atlas[off + y1i * wi + x1i]
+        top = c00 + (c01 - c00) * wx
+        bot = c10 + (c11 - c10) * wx
+        return top + (bot - top) * wy
+
+    a = bilin(l0)
+    b = bilin(jnp.minimum(l0 + 1, n_mips - 1))
+    return a + (b - a) * frac
 
 
 # ---------------------------------------------------------------------------
