@@ -177,3 +177,58 @@ def test_transform_normal_nonuniform_scale():
     n2 = np.asarray(gm.normalize(n2))[0]
     # z-component must shrink relative to y (plane flattens)
     assert n2[1] > n2[2] > 0
+
+
+def test_procedural_glossy_pdf_is_a_density():
+    """MC validation of core.math.procedural_glossy_pdf: it must (a)
+    integrate to ~1 over the sphere and (b) match the empirical density
+    of the reference's actual sampling procedure (normalize(lerp(mirror,
+    cosine_dir, a))) in cones around the lobe."""
+    import numpy as np
+    import jax.numpy as jnp
+    from halogen_tpu.core.math import (
+        lambertian_scatter,
+        lerp,
+        normalize,
+        procedural_glossy_pdf,
+        reflect,
+    )
+
+    rng = np.random.default_rng(3)
+    n = jnp.asarray([0.0, 0.0, 1.0])
+    d = normalize(jnp.asarray([0.5, 0.2, -0.8]))
+    r = reflect(d, n)
+
+    for a in (0.2, 0.6, 1.0):
+        # (a) integral over the sphere by uniform MC
+        us = normalize(jnp.asarray(
+            rng.normal(size=(120000, 3)).astype(np.float32)))
+        pv = np.asarray(procedural_glossy_pdf(
+            us, jnp.broadcast_to(r, us.shape),
+            jnp.full((len(us),), a, jnp.float32),
+            jnp.broadcast_to(n, us.shape)))
+        integral = pv.mean() * 4 * np.pi
+        assert abs(integral - 1.0) < 0.08, (a, integral)
+
+        # (b) empirical cone densities from the actual procedure
+        N = 200000
+        u = rng.random((N, 2)).astype(np.float32)
+        theta = u[:, 0] * 2 * np.pi
+        cph = 2 * u[:, 1] - 1
+        sph = np.sqrt(np.maximum(0, 1 - cph * cph))
+        rv = jnp.asarray(
+            np.stack([sph * np.cos(theta), sph * np.sin(theta), cph], -1))
+        dd = lambertian_scatter(jnp.broadcast_to(n, (N, 3)), rv)
+        w = np.asarray(normalize(
+            lerp(jnp.broadcast_to(r, (N, 3)), dd, jnp.float32(a))))
+        offs = rng.normal(size=(8, 3)).astype(np.float32) * a * 0.8
+        probes = normalize(jnp.asarray(np.asarray(r)[None, :] + offs))
+        pp = np.asarray(procedural_glossy_pdf(
+            probes, jnp.broadcast_to(r, (8, 3)),
+            jnp.full((8,), a, jnp.float32), jnp.broadcast_to(n, (8, 3))))
+        cos_eps = 1 - (0.15 * a) ** 2 / 2
+        sa = 2 * np.pi * (1 - cos_eps)
+        emp = ((w @ np.asarray(probes).T) > cos_eps).mean(axis=0) / sa
+        m = pp > pp.max() * 0.05
+        ratio = emp[m] / pp[m]
+        assert (np.abs(ratio - 1.0) < 0.25).all(), (a, ratio)
