@@ -461,6 +461,15 @@ def _ray_sort_keys(scene: SceneData, origin, direction) -> jnp.ndarray:
     return (octant << 21) | morton
 
 
+def _sort_keys_with_dead_last(scene, origin, direction, far):
+    """Coherence key, with dead lanes (far <= 0, see trace._pool_bounce)
+    sorted past every live ray: live rays then compact into coherent
+    blocks and dead blocks fail the root test immediately instead of
+    diluting live blocks with stale-ray node unions."""
+    key = _ray_sort_keys(scene, origin, direction)
+    return jnp.where(far > 0.0, key, jnp.int32(0x7FFFFFFF))
+
+
 def intersect_pallas(
     scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
     far: jnp.ndarray, sort_rays: bool = True,
@@ -497,7 +506,8 @@ def intersect_pallas(
     interpret = jax.default_backend() != "tpu"
 
     if sort_rays:
-        order = jnp.argsort(_ray_sort_keys(scene, origin, direction))
+        order = jnp.argsort(
+            _sort_keys_with_dead_last(scene, origin, direction, far))
         inv = jnp.argsort(order)
         t, tri, u, v, s, tt, bt = traverse_world_bvh_any(
             scene.wbvh, origin[order], direction[order], seed[order],

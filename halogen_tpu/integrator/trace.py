@@ -179,10 +179,16 @@ def _pool_bounce(
     )
     active = carry.active & (~over)
 
+    # Dead lanes get far = 0: they fail every AABB/leaf test, so they
+    # stop inflating the traversal kernel's block node-unions (measured
+    # on glass_dragon: the pool is ~95% dead from bounce 3 on under RR,
+    # yet stale dead rays kept traversing). Correctness is unaffected —
+    # every consumer of this bounce's hit is masked by `active`.
+    far_eff = jnp.where(active, far, 0.0)
     hit, tt, bt = intersect_scene(
-        scene, carry.origin, carry.direction, far, settings
+        scene, carry.origin, carry.direction, far_eff, settings
     )
-    is_hit = hit.t < far  # compute:898
+    is_hit = active & (hit.t < far)  # compute:898
     mat = gather_materials(scene.materials, hit.material)
 
     first = k == 0
@@ -292,7 +298,8 @@ def _pool_bounce(
         cos_l = jnp.sum(hit.normal * ldir, axis=-1)
         cand = surf_lane & (cos_l > 0.0) & (lpdf > 1e-12)
         sh_origin = hit.pos + hit.normal * 1e-4
-        sh_hit, _, _ = intersect_scene(scene, sh_origin, ldir, far, settings)
+        sh_hit, _, _ = intersect_scene(scene, sh_origin, ldir, far_eff,
+                                       settings)
         visible = sh_hit.t >= far
         # Radiance MUST be the nearest-texel value of the same (finest)
         # mip the pdf tables were built from: a filtered or coarser-mip
@@ -386,7 +393,8 @@ def _pool_bounce(
         # the closest hit is the sampled light itself (or beyond the
         # sampled point, for grazing shared-edge cases on tri lights)
         sh_origin = hit.pos + hit.normal * 1e-4
-        lsh_hit, _, _ = intersect_scene(scene, sh_origin, wi, far, settings)
+        lsh_hit, _, _ = intersect_scene(scene, sh_origin, wi, far_eff,
+                                        settings)
         hit_self = jnp.where(
             is_tri, lsh_hit.tri == ls["idx"], lsh_hit.sphere == ls["idx"])
         visible_l = hit_self | (lsh_hit.t >= dist * np.float32(1.0 - 1e-3))
