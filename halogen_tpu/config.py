@@ -55,15 +55,17 @@ class Intersector(enum.IntEnum):
 
     AUTO selects BRUTE for small scenes (regular, gather-free — maps
     perfectly onto the TPU VPU) and, above the triangle threshold, the
-    Pallas shared-stack traversal kernel on TPU (PALLAS) or the lockstep
-    JAX traversal elsewhere (BVH). The reference has only a per-mesh BVH
-    megakernel path (`HalgoenCompute.compute:378-472`).
+    per-ray TREELET kernel on TPU (falling back to the shared-stack
+    PALLAS kernel for scenes beyond the treelet VMEM cap) or the
+    lockstep JAX traversal elsewhere (BVH). The reference has only a
+    per-mesh BVH megakernel path (`HalgoenCompute.compute:378-472`).
     """
 
     AUTO = 0
     BRUTE = 1
     BVH = 2
-    PALLAS = 3
+    PALLAS = 3  # shared-stack block traversal (coherent rays, any size)
+    TREELET = 4  # per-ray skip-link treelet traversal (incoherent rays)
 
 
 @dataclasses.dataclass(frozen=True)

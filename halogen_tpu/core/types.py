@@ -119,6 +119,11 @@ class SceneData:
     # triangles (its TLAS TODO solved the TPU way).
     wbvh: object = None
 
+    # Skip-link treelet BVH for the per-ray Pallas traversal kernel
+    # (kernels/treelet_bvh.TreeletBVH), or None — the incoherent-ray
+    # workhorse, built for scenes within its VMEM-resident cap.
+    tbvh: object = None
+
     # Static (jit-specializing) scene facts, computed at build time.
     # `any_transmissive`: does any material have transmission alpha < 1?
     # When False the nested-dielectric stack is provably always empty and

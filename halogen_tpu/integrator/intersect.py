@@ -472,7 +472,7 @@ def _sort_keys_with_dead_last(scene, origin, direction, far):
 
 def intersect_pallas(
     scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
-    far: jnp.ndarray, sort_rays: bool = True,
+    far: jnp.ndarray, sort_rays: bool = True, use_treelet: bool = False,
 ):
     """Closest hit via the Pallas block-synchronous world-BVH kernel.
 
@@ -491,6 +491,7 @@ def intersect_pallas(
     is bit-identical either way (results return to their original lanes).
     """
     from halogen_tpu.kernels.bvh_pallas import traverse_world_bvh_any
+    from halogen_tpu.kernels.treelet_bvh import traverse_treelets
 
     n = origin.shape[0]
     sp_t, sp_i, sp_orient = _intersect_spheres(scene, origin, direction, far)
@@ -505,21 +506,24 @@ def intersect_pallas(
     seed = jnp.minimum(far, jnp.where(sp_t < INF, sp_t - HIT_EPS, INF))
     interpret = jax.default_backend() != "tpu"
 
+    if use_treelet and scene.tbvh is not None:
+        trav = lambda o, d, s: traverse_treelets(
+            scene.tbvh, o, d, s, interpret=interpret)
+    else:
+        trav = lambda o, d, s: traverse_world_bvh_any(
+            scene.wbvh, o, d, s, interpret=interpret)
+
     if sort_rays:
         order = jnp.argsort(
             _sort_keys_with_dead_last(scene, origin, direction, far))
         inv = jnp.argsort(order)
-        t, tri, u, v, s, tt, bt = traverse_world_bvh_any(
-            scene.wbvh, origin[order], direction[order], seed[order],
-            interpret=interpret,
-        )
+        t, tri, u, v, s, tt, bt = trav(
+            origin[order], direction[order], seed[order])
         t, tri, u, v, s, tt, bt = (
             x[inv] for x in (t, tri, u, v, s, tt, bt)
         )
     else:
-        t, tri, u, v, s, tt, bt = traverse_world_bvh_any(
-            scene.wbvh, origin, direction, seed, interpret=interpret
-        )
+        t, tri, u, v, s, tt, bt = trav(origin, direction, seed)
     t, u, v, s = (jax.lax.stop_gradient(x) for x in (t, u, v, s))
     mesh_wins = t < seed  # kernel already enforced t < seed
 
@@ -551,16 +555,24 @@ def intersect_scene(
     threshold and the Pallas kernel (TPU) / lockstep JAX traversal (CPU)
     above it (get_ray_intersection, compute:474-485)."""
     kind = settings.intersector
+    on_tpu = jax.default_backend() == "tpu"
     if kind == Intersector.AUTO:
         if scene.num_triangles <= settings.brute_force_max_tris:
             kind = Intersector.BRUTE
-        elif jax.default_backend() == "tpu" and scene.wbvh is not None:
+        elif on_tpu and scene.tbvh is not None:
+            kind = Intersector.TREELET
+        elif on_tpu and scene.wbvh is not None:
             kind = Intersector.PALLAS
         else:
             kind = Intersector.BVH
+    if kind == Intersector.TREELET and scene.tbvh is None:
+        kind = Intersector.PALLAS  # beyond the treelet VMEM cap
     if kind == Intersector.BRUTE:
         return intersect_brute(scene, origin, direction, far,
                                settings.triangle_block)
+    if kind == Intersector.TREELET:
+        return intersect_pallas(scene, origin, direction, far,
+                                use_treelet=True)
     if kind == Intersector.PALLAS:
         return intersect_pallas(scene, origin, direction, far)
     return intersect_bvh(scene, origin, direction, far)

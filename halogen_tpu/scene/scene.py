@@ -162,10 +162,17 @@ class Scene:
 
         tv_world_cat = cat(tv_world, (0, 3, 3))
         wbvh = None
+        tbvh = None
         if world_bvh and tv_world_cat.shape[0] > 0:
             from halogen_tpu.kernels.bvh_pallas import pack_world_bvh_auto
+            from halogen_tpu.kernels.treelet_bvh import (
+                TREELET_MAX_TRIS,
+                pack_treelet_bvh,
+            )
 
             wbvh = pack_world_bvh_auto(tv_world_cat, max_leaf=max_leaf)
+            if tv_world_cat.shape[0] <= TREELET_MAX_TRIS:
+                tbvh = pack_treelet_bvh(tv_world_cat, max_leaf=max_leaf)
 
         from halogen_tpu.scene.lights import build_light_table
 
@@ -215,6 +222,7 @@ class Scene:
             tri_light_pdf_area=jnp.asarray(tri_light_pdf),
             sphere_light_sel=jnp.asarray(sphere_light_sel),
             wbvh=wbvh,
+            tbvh=tbvh,
             # Static: any material that can refract (transmission alpha < 1)?
             # False lets the integrator skip the nested-dielectric stack
             # machinery — it is provably a no-op in fully opaque scenes.

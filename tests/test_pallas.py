@@ -98,3 +98,58 @@ def test_chunked_world_bvh_matches_single():
                                   jnp.asarray(tv))
     np.testing.assert_allclose(np.where(hit, ta, np.inf), np.asarray(bt),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_treelet_matches_bvh_dragons():
+    """Per-ray treelet traversal kernel (kernels/treelet_bvh.py): full
+    render parity with the lockstep BVH intersector on a multi-treelet
+    scene (the incoherent-ray fast path)."""
+    cam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                         fov_deg=45)
+    scene = dragons_hero_scene(2, tris=1280).build(
+        envmap=Envmap.gradient_sky())
+    assert scene.tbvh is not None and scene.tbvh.num_treelets > 1
+    st = ST.replace(use_envmap=True)
+    a = np.asarray(ht.render_frame(scene, cam, st.replace(
+        intersector=Intersector.BVH), 1))
+    b = np.asarray(ht.render_frame(scene, cam, st.replace(
+        intersector=Intersector.TREELET), 1))
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+
+def test_treelet_kernel_exact_vs_shared_stack():
+    """Raw kernel contract: treelet traversal returns bit-identical
+    (t, tri, u, v, sign) to the shared-stack kernel on random rays."""
+    from halogen_tpu.kernels.bvh_pallas import (
+        pack_world_bvh,
+        traverse_world_bvh_any,
+    )
+    from halogen_tpu.kernels.treelet_bvh import (
+        pack_treelet_bvh,
+        traverse_treelets,
+    )
+    from halogen_tpu.scene.meshes import dragon_mesh
+    import jax.numpy as jnp
+
+    verts, faces = dragon_mesh(2)
+    tv = verts[faces]
+    tb = pack_treelet_bvh(tv)
+    wb = pack_world_bvh(np.asarray(tv))
+    rng = np.random.default_rng(0)
+    n = 512
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 3.0
+    tgt = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    d = tgt - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    seed = jnp.full((n,), 1e30, jnp.float32)
+    r1 = traverse_world_bvh_any(wb, jnp.asarray(o), jnp.asarray(d), seed,
+                                interpret=True)
+    r2 = traverse_treelets(tb, jnp.asarray(o), jnp.asarray(d), seed,
+                           interpret=True)
+    t1, t2 = np.asarray(r1[0]), np.asarray(r2[0])
+    np.testing.assert_array_equal(t1, t2, err_msg="t")
+    hit = np.isfinite(t1)  # on miss the winner payload is unused
+    assert hit.mean() > 0.5
+    for a, b, name in zip(r1[1:5], r2[1:5], "tri u v s".split()):
+        np.testing.assert_array_equal(np.asarray(a)[hit],
+                                      np.asarray(b)[hit], err_msg=name)
