@@ -358,10 +358,173 @@ def _sel_medium(cond, a, b):
 # Kernel body
 # ---------------------------------------------------------------------------
 
+def _make_traversal(treelet_k: int):
+    """In-kernel skip-link treelet traversal (kernels/treelet_bvh.py
+    semantics, proven bit-exact on hardware) for the fused bounce loop:
+    the whole treelet table set stays VMEM-resident (v5e has ~128 MB of
+    VMEM; K*112 KB for nodes+tris+shade), each ray walks its own
+    skip-link pointer, and the block serializes only on the monotone
+    treelet schedule. Returns a `tri_intersect(refs, o, d, inv_d, seed)`
+    closure producing the same winner tuple as the brute unrolled loop.
+
+    Reference: the HLSL megakernel traverses its BVH inside the same
+    kernel that shades (HalgoenCompute.compute:876-950 calling :378-472
+    per bounce); this is that design under TPU constraints (no per-lane
+    stack -> skip links; 128-lane gather range -> treelet tiles)."""
+    from halogen_tpu.kernels.treelet_bvh import T_NODES
+
+    end_id = treelet_k * T_NODES
+
+    def tri_intersect(nodes_ref, tris_ref, shade_ref, o, d, inv_d, seed):
+        i32 = jnp.int32
+        zf = o[0] * 0.0  # data-derived zeros: Mosaic while-carry layouts
+        zi = zf.astype(i32)
+        state = (
+            jnp.int32(0),   # safety iteration counter
+            zi,             # node (padded id; root = 0)
+            zi,             # trem: tris remaining at current leaf
+            zi,             # tcur: current local tri slot
+            seed,           # best_t (pruned by sphere hit / far)
+            zf - 1.0,       # winner global tri id
+            zf,             # u
+            zf,             # v
+            zf + 1.0,       # sign
+            zi - 1,         # winner treelet id
+            zi,             # winner local tri slot
+        )
+
+        def cond(c):
+            return jnp.any(c[1] < end_id) & (c[0] < 2 * end_id + 16)
+
+        def body(c):
+            (it, node, trem, tcur, best_t, wtri, wu, wv, ws, wk,
+             wslot) = c
+            alive = node < end_id
+            t_id = jnp.right_shift(node, 7)
+            cur = jnp.min(jnp.where(alive, t_id, treelet_k)).astype(i32)
+            in_cur = alive & (t_id == cur)
+            local = jnp.bitwise_and(node, T_NODES - 1)
+
+            def g8(ref, f, idx):
+                return jnp.take_along_axis(ref[cur, f], idx, axis=1)
+
+            lo_x = g8(nodes_ref, 0, local)
+            lo_y = g8(nodes_ref, 1, local)
+            lo_z = g8(nodes_ref, 2, local)
+            hi_x = g8(nodes_ref, 3, local)
+            hi_y = g8(nodes_ref, 4, local)
+            hi_z = g8(nodes_ref, 5, local)
+            skip = g8(nodes_ref, 6, local).astype(i32)
+            tag = g8(nodes_ref, 7, local).astype(i32)
+            is_leaf = jnp.bitwise_and(tag, 1) == 1
+            child = jnp.right_shift(tag, 1)
+            count = jnp.bitwise_and(jnp.right_shift(tag, 1), 7)
+            tstart = jnp.right_shift(tag, 4)
+
+            leaf_phase = in_cur & (trem > 0)
+            node_phase = in_cur & (~leaf_phase)
+
+            # slab test (ray_AABB_test, compute:244-259)
+            t1x, t2x = (lo_x - o[0]) * inv_d[0], (hi_x - o[0]) * inv_d[0]
+            t1y, t2y = (lo_y - o[1]) * inv_d[1], (hi_y - o[1]) * inv_d[1]
+            t1z, t2z = (lo_z - o[2]) * inv_d[2], (hi_z - o[2]) * inv_d[2]
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                           jnp.maximum(t1y, t2y)),
+                               jnp.maximum(t1z, t2z))
+            hitbox = ((tmax > jnp.maximum(0.0, tmin))
+                      & (jnp.maximum(tmin, 0.0) < best_t))
+            enter_leaf = node_phase & hitbox & is_leaf
+
+            # triangle test for leaf-phase rays (Moller-Trumbore,
+            # compute:307-355)
+            v0x = g8(tris_ref, 0, tcur)
+            v0y = g8(tris_ref, 1, tcur)
+            v0z = g8(tris_ref, 2, tcur)
+            e1x = g8(tris_ref, 3, tcur)
+            e1y = g8(tris_ref, 4, tcur)
+            e1z = g8(tris_ref, 5, tcur)
+            e2x = g8(tris_ref, 6, tcur)
+            e2y = g8(tris_ref, 7, tcur)
+            e2z = g8(tris_ref, 8, tcur)
+            gid = g8(tris_ref, 9, tcur)
+            px = d[1] * e2z - d[2] * e2y
+            py = d[2] * e2x - d[0] * e2z
+            pz = d[0] * e2y - d[1] * e2x
+            det = px * e1x + py * e1y + pz * e1z
+            parallel = jnp.abs(det) < _DET_EPS
+            inv_det = 1.0 / jnp.where(parallel, np.float32(1.0), det)
+            tvx, tvy, tvz = o[0] - v0x, o[1] - v0y, o[2] - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+            th = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            valid = (
+                leaf_phase & (~parallel) & (uu >= 0.0) & (uu <= 1.0)
+                & (vv >= 0.0) & (uu + vv <= 1.0) & (th > 0.0)
+                & (th < best_t)
+            )
+            best_t = jnp.where(valid, th, best_t)
+            wtri = jnp.where(valid, gid, wtri)
+            wu = jnp.where(valid, uu, wu)
+            wv = jnp.where(valid, vv, wv)
+            ws = jnp.where(valid,
+                           jnp.where(det >= 0.0, 1.0, -1.0), ws)
+            wk = jnp.where(valid, cur, wk)
+            wslot = jnp.where(valid, tcur, wslot)
+
+            trem_n = jnp.where(enter_leaf, count,
+                               jnp.where(leaf_phase, trem - 1, trem))
+            tcur_n = jnp.where(enter_leaf, tstart,
+                               jnp.where(leaf_phase, tcur + 1, tcur))
+            node_n = jnp.where(
+                node_phase & hitbox & (~is_leaf), child,
+                jnp.where(node_phase & (~hitbox), skip,
+                          jnp.where(leaf_phase & (trem_n == 0), skip,
+                                    node)))
+            return (it + 1, node_n, trem_n, tcur_n, best_t, wtri, wu, wv,
+                    ws, wk, wslot)
+
+        (_, _, _, _, best_t, wtri, wu, wv, ws, wk, wslot) = (
+            jax.lax.while_loop(cond, body, state))
+
+        # Winner post-pass: one masked 10-field gather round per treelet
+        # fetches the winner's shading payload (n0, n1-n0, n2-n0, mat)
+        # at its recorded slot — O(K) gathers per bounce instead of 10
+        # extra gathers on every traversal step.
+        def fetch(k, acc):
+            sel = wk == k
+            out = []
+            for f in range(10):
+                v = jnp.take_along_axis(shade_ref[k, f], wslot, axis=1)
+                out.append(jnp.where(sel, v, acc[f]))
+            return tuple(out)
+
+        sh = jax.lax.fori_loop(0, treelet_k, fetch, (zf,) * 10)
+        (n0x, n0y, n0z, d1x, d1y, d1z, d2x, d2y, d2z, matf) = sh
+        miss = wtri < 0.0
+        tr_t = jnp.where(miss, _INF, best_t)
+        tr_nx = n0x + d1x * wu + d2x * wv
+        tr_ny = n0y + d1y * wu + d2y * wv
+        tr_nz = n0z + d1z * wu + d2z * wv
+        return tr_t, ws, tr_nx, tr_ny, tr_nz, matf
+
+    return tri_intersect
+
+
 def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                  num_materials: int, any_transmissive: bool,
-                 stack_depth: int = STACK_DEPTH):
-    """Build the fused path-trace kernel body for static scene sizes."""
+                 stack_depth: int = STACK_DEPTH,
+                 treelet_k: int | None = None):
+    """Build the fused path-trace kernel body for static scene sizes.
+
+    treelet_k=None compiles the brute-force unrolled triangle loop
+    (<=MAX_TRIS scenes, tables in SMEM); treelet_k=K compiles the
+    in-kernel skip-link traversal over K VMEM-resident treelets."""
     sobol = settings.sampler == SamplerKind.SOBOL
     max_bounces = settings.max_bounces
     lim_d = settings.max_diffuse_bounces
@@ -377,12 +540,22 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
     def s1(index, dim, seed):
         return (_sobol_1d if sobol else _prng_1d_impl)(index, dim, seed)
 
-    def kernel(far_ref, tri_ref, trin_ref, sph_ref, mat_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               sidx_ref, seed_ref,
-               outr_ref, outg_ref, outb_ref,
-               mar_ref, mag_ref, mab_ref, mrough_ref,
-               odx_ref, ody_ref, odz_ref):
+    traverse = (_make_traversal(treelet_k) if treelet_k is not None
+                else None)
+
+    def kernel(*refs):
+        if treelet_k is None:
+            (far_ref, tri_ref, trin_ref, sph_ref, mat_ref, *rest) = refs
+            nodes_ref = tris_ref = shade_ref = None
+        else:
+            (far_ref, nodes_ref, tris_ref, shade_ref, sph_ref, mat_ref,
+             *rest) = refs
+            tri_ref = trin_ref = None
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         sidx_ref, seed_ref,
+         outr_ref, outg_ref, outb_ref,
+         mar_ref, mag_ref, mab_ref, mrough_ref,
+         odx_ref, ody_ref, odz_ref) = rest
         far = far_ref[0, 0]
         o = (ox_ref[:], oy_ref[:], oz_ref[:])
         d = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -495,16 +668,30 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                 sp_cz = jnp.where(better, cz, sp_cz)
                 sp_mat = jnp.where(better, m, sp_mat)
 
+            if treelet_k is not None:
+                # --- triangles via the in-kernel treelet walk; best-t is
+                # seeded with min(far, sphere hit - HIT_EPS) so the walk
+                # prunes sphere-occluded space, and with -1 on dead lanes
+                # so they fail the root test and idle out in one step.
+                seed_t = jnp.minimum(
+                    far, jnp.where(sp_t < _INF, sp_t - _HIT_EPS, _INF))
+                seed_t = jnp.where(active, seed_t, np.float32(-1.0))
+                tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = traverse(
+                    nodes_ref, tris_ref, shade_ref, o, d, inv_d, seed_t)
+                num_brute_tris = 0
+            else:
+                num_brute_tris = num_tris
             # --- triangles: unrolled Möller-Trumbore with inline winner
             # payload tracking (triangle_intersection_doublesided,
             # compute:307-355; winner normal interp compute:462-467)
-            tr_t = jnp.full(shape, _INF)
-            tr_s = jnp.zeros(shape, f32)
-            tr_nx = jnp.zeros(shape, f32)
-            tr_ny = jnp.zeros(shape, f32)
-            tr_nz = jnp.zeros(shape, f32)
-            tr_mat = jnp.zeros(shape, f32)
-            for ti in range(num_tris):
+            if treelet_k is None:
+                tr_t = jnp.full(shape, _INF)
+                tr_s = jnp.zeros(shape, f32)
+                tr_nx = jnp.zeros(shape, f32)
+                tr_ny = jnp.zeros(shape, f32)
+                tr_nz = jnp.zeros(shape, f32)
+                tr_mat = jnp.zeros(shape, f32)
+            for ti in range(num_brute_tris):
                 v0 = (tri_ref[ti, 0], tri_ref[ti, 1], tri_ref[ti, 2])
                 e1 = (tri_ref[ti, 3], tri_ref[ti, 4], tri_ref[ti, 5])
                 e2 = (tri_ref[ti, 6], tri_ref[ti, 7], tri_ref[ti, 8])
@@ -791,24 +978,38 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
 # Host wrapper
 # ---------------------------------------------------------------------------
 
+def _fused_treelet_k(scene: SceneData) -> int | None:
+    """Treelet count if the scene is eligible for the in-kernel
+    traversal tier (needs the packed shading payload), else None."""
+    tb = scene.tbvh
+    if tb is None or getattr(tb, "shade", None) is None:
+        return None
+    return int(tb.num_treelets)
+
+
 def fused_supported(scene: SceneData, settings: RenderSettings) -> bool:
     """Static eligibility for the fused megakernel path.
 
-    Transmissive scenes (in-kernel medium stack) and environment maps
-    (deferred-miss shading) are in scope; NEE variants are not — they
-    need per-bounce shadow rays against tables that do not fit the
-    kernel, so those fall back to the lockstep/wavefront schedulers."""
+    Two tiers: <=MAX_TRIS scenes brute-force SMEM-resident triangle
+    tables inside the kernel; larger scenes (up to the treelet packer's
+    TREELET_MAX_TRIS cap) run the in-kernel skip-link treelet traversal
+    over VMEM-resident tables. Transmissive scenes (in-kernel medium
+    stack) and environment maps (deferred-miss shading) are in scope;
+    NEE variants are not — they need per-bounce shadow rays, which fall
+    back to the lockstep/wavefront schedulers."""
     # mirror trace._use_nee / _use_light_nee exactly: NEE only activates
     # when the flag AND its scene tables are present
     env_nee = (settings.use_envmap and settings.env_importance_sampling
                and scene.env_cdf is not None and bool(scene.env_mips))
     light_nee = (settings.light_importance_sampling
                  and scene.lights is not None)
+    tris_ok = (scene.num_triangles <= MAX_TRIS
+               or _fused_treelet_k(scene) is not None)
     return (
         settings.debug_mode == DebugMode.NONE
         and not env_nee
         and not light_nee
-        and scene.num_triangles <= MAX_TRIS
+        and tris_ok
         and scene.num_spheres <= MAX_SPHERES
         and scene.materials.count <= MAX_MATERIALS
         and (scene.num_triangles + scene.num_spheres) > 0
@@ -816,8 +1017,10 @@ def fused_supported(scene: SceneData, settings: RenderSettings) -> bool:
     )
 
 
-def _scene_tables(scene: SceneData):
-    """Pack the scene into the kernel's SMEM tables."""
+def _scene_tables(scene: SceneData, skip_tris: bool = False):
+    """Pack the scene into the kernel's SMEM tables. `skip_tris` elides
+    the per-triangle tables (traversal mode reads the treelet tiles
+    instead; a >MAX_TRIS unrolled SMEM table would not fit anyway)."""
     mats = scene.materials
     mat_tab = jnp.concatenate(
         [
@@ -833,7 +1036,7 @@ def _scene_tables(scene: SceneData):
         axis=1,
     ).astype(jnp.float32)  # [K, 17]
 
-    if scene.num_triangles:
+    if scene.num_triangles and not skip_tris:
         tv = scene.tri_verts_world
         v0 = tv[:, 0]
         tri_tab = jnp.concatenate(
@@ -878,6 +1081,12 @@ def trace_color_fused(
     `trace_color_fused_diff` for the differentiable wrapper."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if (scene.num_triangles > MAX_TRIS
+            and _fused_treelet_k(scene) is not None):
+        # traversal tier: ray blocks must match the treelet tiles'
+        # sublane broadcast (kernels/treelet_bvh.RAY_SUB)
+        from halogen_tpu.kernels.treelet_bvh import RAY_SUB
+        sublanes = RAY_SUB
     n = origin.shape[0]
     block = sublanes * LANES
     pad = (-n) % block
@@ -914,7 +1123,10 @@ def trace_color_fused(
     sidx = prep_u32(sample_idx)
     sd = prep_u32(seed)
 
-    tri_tab, trin_tab, sph_tab, mat_tab = _scene_tables(scene)
+    treelet_k = (None if scene.num_triangles <= MAX_TRIS
+                 else _fused_treelet_k(scene))
+    tri_tab, trin_tab, sph_tab, mat_tab = _scene_tables(
+        scene, skip_tris=treelet_k is not None)
     far_arr = jnp.reshape(jnp.asarray(far, jnp.float32)[..., None][..., None],
                           (1, 1)) if jnp.ndim(far) == 0 else jnp.reshape(
         jnp.asarray(far, jnp.float32).reshape(-1)[0], (1, 1))
@@ -922,7 +1134,7 @@ def trace_color_fused(
     kernel = _make_kernel(
         settings, scene.num_triangles, scene.num_spheres,
         scene.materials.count, scene.any_transmissive,
-        stack_depth=stack_depth,
+        stack_depth=stack_depth, treelet_k=treelet_k,
     )
 
     rows = npad // LANES
@@ -932,22 +1144,36 @@ def trace_color_fused(
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.SMEM)
 
+    if treelet_k is None:
+        scene_inputs = [tri_tab, trin_tab]
+        scene_specs = [smem(tri_tab), smem(trin_tab)]
+        params = {}
+    else:
+        tb = scene.tbvh
+        # Full treelet tables resident in VMEM across the whole grid
+        # (constant index_map -> fetched once, not per ray block).
+        vmem_full = lambda a: pl.BlockSpec(
+            a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+        scene_inputs = [tb.nodes, tb.tris, tb.shade]
+        scene_specs = [vmem_full(tb.nodes), vmem_full(tb.tris),
+                       vmem_full(tb.shade)]
+        params = dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024))
+
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            smem(far_arr), smem(tri_tab), smem(trin_tab), smem(sph_tab),
-            smem(mat_tab),
-            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-            ray_spec, ray_spec,
-        ],
+        in_specs=[smem(far_arr), *scene_specs, smem(sph_tab), smem(mat_tab),
+                  ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                  ray_spec, ray_spec, ray_spec],
         out_specs=(ray_spec,) * 10,
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
             for _ in range(10)
         ),
         interpret=interpret,
-    )(far_arr, tri_tab, trin_tab, sph_tab, mat_tab,
+        **params,
+    )(far_arr, *scene_inputs, sph_tab, mat_tab,
       ox, oy, oz, dx, dy, dz, sidx, sd)
 
     col = jnp.stack([outs[0].reshape(-1)[:n], outs[1].reshape(-1)[:n],

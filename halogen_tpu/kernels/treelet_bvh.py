@@ -64,6 +64,11 @@ INF = np.float32(np.inf)
 class TreeletBVH(NamedTuple):
     nodes: jnp.ndarray  # [K, 8, 8, 128] f32
     tris: jnp.ndarray  # [K, 10, 8, 128] f32
+    # Optional shading payload for the fused megakernel's winner
+    # post-pass: rows 0-2 n0.xyz | 3-5 (n1-n0).xyz | 6-8 (n2-n0).xyz |
+    # 9 material id. Kept out of `tris` so the traversal-only kernels
+    # (bvh parity path) don't pay its VMEM cost.
+    shade: jnp.ndarray | None = None  # [K, 10, 8, 128] f32
 
     @property
     def num_treelets(self) -> int:
@@ -72,7 +77,9 @@ class TreeletBVH(NamedTuple):
 
 def pack_treelet_bvh(tri_verts_world: np.ndarray, max_leaf: int = 5,
                      max_depth: int = 32,
-                     tri_ids: np.ndarray | None = None) -> TreeletBVH:
+                     tri_ids: np.ndarray | None = None,
+                     tri_normals_world: np.ndarray | None = None,
+                     tri_materials: np.ndarray | None = None) -> TreeletBVH:
     """Build + pack the skip-link treelet BVH (host side, numpy)."""
     from halogen_tpu.accel.bvh import build_bvh
 
@@ -138,8 +145,15 @@ def pack_treelet_bvh(tri_verts_world: np.ndarray, max_leaf: int = 5,
         nxt = g + size[o]
         skip[g] = end_id if nxt >= B else padded[nxt]
 
+    with_shade = tri_normals_world is not None
+    if with_shade:
+        tn = np.asarray(tri_normals_world, np.float32)[order]
+        tm = (np.asarray(tri_materials, np.float32)[order]
+              if tri_materials is not None else np.zeros(n, np.float32))
+
     nodes = np.zeros((K, 8, T_NODES), np.float32)
     tris = np.zeros((K, 10, T_TRIS), np.float32)
+    shade = np.zeros((K, 10, T_TRIS), np.float32) if with_shade else None
     for g, o in enumerate(pre_arr):
         k, loc = tid[g], local[g]
         nodes[k, 0:3, loc] = bvh.lo[o]
@@ -155,6 +169,12 @@ def pack_treelet_bvh(tri_verts_world: np.ndarray, max_leaf: int = 5,
             tris[k, 3:6, ts:ts + c] = (tv[sl, 1] - v0).T
             tris[k, 6:9, ts:ts + c] = (tv[sl, 2] - v0).T
             tris[k, 9, ts:ts + c] = global_ids[sl].astype(np.float32)
+            if with_shade:
+                n0 = tn[sl, 0]
+                shade[k, 0:3, ts:ts + c] = n0.T
+                shade[k, 3:6, ts:ts + c] = (tn[sl, 1] - n0).T
+                shade[k, 6:9, ts:ts + c] = (tn[sl, 2] - n0).T
+                shade[k, 9, ts:ts + c] = tm[sl]
         else:
             child = padded[g + 1]  # first child follows in preorder
             nodes[k, 7, loc] = float(2 * child)
@@ -163,7 +183,10 @@ def pack_treelet_bvh(tri_verts_world: np.ndarray, max_leaf: int = 5,
                               (K, 8, RAY_SUB, T_NODES)).copy()
     tris_b = np.broadcast_to(tris[:, :, None, :],
                              (K, 10, RAY_SUB, T_TRIS)).copy()
-    return TreeletBVH(jnp.asarray(nodes_b), jnp.asarray(tris_b))
+    shade_b = (jnp.asarray(np.broadcast_to(
+        shade[:, :, None, :], (K, 10, RAY_SUB, T_TRIS)).copy())
+        if with_shade else None)
+    return TreeletBVH(jnp.asarray(nodes_b), jnp.asarray(tris_b), shade_b)
 
 
 def _traverse_kernel(K: int):
@@ -178,20 +201,27 @@ def _traverse_kernel(K: int):
         iy = 1.0 / jnp.where(jnp.abs(dy) < tiny, tiny, dy)
         iz = 1.0 / jnp.where(jnp.abs(dz) < tiny, tiny, dz)
 
-        shape = ox.shape
         i32 = jnp.int32
+        # Carry init values must NOT be splat constants: Mosaic assigns
+        # constants a replicated vector layout, and the while_loop body
+        # produces non-replicated values — the resulting relayout is
+        # rejected at compile time ("Non-singleton logical dimension is
+        # replicated in destination but not in source"). Deriving the
+        # zeros/ones from loaded ray data pins a concrete (8,128) layout.
+        zf = ox * 0.0
+        zi = zf.astype(i32)
         state = (
             jnp.int32(0),  # safety iteration counter
-            jnp.zeros(shape, i32),  # node (padded id; root = 0)
-            jnp.zeros(shape, i32),  # trem: tris remaining at current leaf
-            jnp.zeros(shape, i32),  # tcur: current local tri slot
+            zi,  # node (padded id; root = 0)
+            zi,  # trem: tris remaining at current leaf
+            zi,  # tcur: current local tri slot
             seed_ref[0, 0],  # best_t
-            jnp.full(shape, -1.0, jnp.float32),  # winner global tri id
-            jnp.zeros(shape, jnp.float32),  # u
-            jnp.zeros(shape, jnp.float32),  # v
-            jnp.ones(shape, jnp.float32),  # sign
-            jnp.zeros(shape, i32),  # tri tests
-            jnp.zeros(shape, i32),  # box tests
+            zf - 1.0,  # winner global tri id
+            zf,  # u
+            zf,  # v
+            zf + 1.0,  # sign
+            zi,  # tri tests
+            zi,  # box tests
         )
 
         def cond(c):

@@ -172,7 +172,11 @@ class Scene:
 
             wbvh = pack_world_bvh_auto(tv_world_cat, max_leaf=max_leaf)
             if tv_world_cat.shape[0] <= TREELET_MAX_TRIS:
-                tbvh = pack_treelet_bvh(tv_world_cat, max_leaf=max_leaf)
+                tbvh = pack_treelet_bvh(
+                    tv_world_cat, max_leaf=max_leaf,
+                    tri_normals_world=cat(tn_world, (0, 3, 3)),
+                    tri_materials=cat(tri_mat, (0,), np.int32).astype(
+                        np.float32))
 
         from halogen_tpu.scene.lights import build_light_table
 

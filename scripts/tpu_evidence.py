@@ -144,6 +144,55 @@ def main():
         })
 
     # ------------------------------------------------------------------
+    # 2b. Treelet (skip-link) traversal parity ON TPU — the kernel that
+    #     Intersector.AUTO prefers for >brute-threshold scenes. Round-2
+    #     verdict: this kernel had no hardware record; these rows are it.
+    # ------------------------------------------------------------------
+    if want("parity_treelet_traversal"):
+        scene = meshes.dragons_hero_scene(2, tris=5120).build(
+            envmap=Envmap.gradient_sky())
+        dcam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                              fov_deg=45)
+        st = ht.RenderSettings(width=64, height=64, samples_per_pixel=2,
+                               max_bounces=3, use_envmap=True,
+                               ray_chunk_size=4096, fused=Fused.OFF)
+        a = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            intersector=Intersector.BRUTE), 1))
+        b = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            intersector=Intersector.TREELET), 1))
+        mad = float(np.abs(a - b).max())
+        _record(args.out, {
+            "key": "parity_treelet_traversal", "backend": backend,
+            "device": dev, "tris": scene.num_triangles,
+            "max_abs_diff": mad, "mean": float(a.mean()),
+            "ok": bool(mad < 2e-3 and np.isfinite(b).all()),
+        })
+
+    # ------------------------------------------------------------------
+    # 2c. Fused megakernel WITH in-kernel treelet traversal (round-3):
+    #     >MAX_TRIS scene through the resident bounce loop.
+    # ------------------------------------------------------------------
+    if want("parity_fused_traversal"):
+        scene = meshes.dragons_hero_scene(2, tris=5120).build(
+            envmap=Envmap.gradient_sky())
+        dcam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                              fov_deg=45)
+        st = ht.RenderSettings(width=64, height=64, samples_per_pixel=2,
+                               max_bounces=3, use_envmap=True,
+                               ray_chunk_size=4096)
+        a = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            fused=Fused.OFF, intersector=Intersector.TREELET), 1))
+        b = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            fused=Fused.FORCE), 1))
+        mad = float(np.abs(a - b).max())
+        _record(args.out, {
+            "key": "parity_fused_traversal", "backend": backend,
+            "device": dev, "tris": scene.num_triangles,
+            "max_abs_diff": mad, "mean": float(a.mean()),
+            "ok": bool(mad < 2e-3 and np.isfinite(b).all()),
+        })
+
+    # ------------------------------------------------------------------
     # 3. Ladder-config throughput matrix (HUD Mrays/s, single chip).
     # ------------------------------------------------------------------
     big_chunk = 262144
@@ -191,6 +240,32 @@ def main():
             ht.RenderSettings(width=512, height=512, samples_per_pixel=64,
                               max_bounces=8, use_envmap=True,
                               ray_chunk_size=big_chunk), 2),
+        # treelet-vs-shared-stack A/B on the ladder-4/5 scenes (cites the
+        # Intersector.AUTO preference for TREELET on TPU)
+        "perf_glass_dragon_treelet": (
+            lambda: meshes.glass_dragon_scene().build(), dragon_cam,
+            ht.RenderSettings(width=512, height=512, samples_per_pixel=32,
+                              max_bounces=12, ray_chunk_size=big_chunk,
+                              intersector=Intersector.TREELET), 2),
+        "perf_glass_dragon_sharedstack": (
+            lambda: meshes.glass_dragon_scene().build(), dragon_cam,
+            ht.RenderSettings(width=512, height=512, samples_per_pixel=32,
+                              max_bounces=12, ray_chunk_size=big_chunk,
+                              intersector=Intersector.PALLAS), 2),
+        # round-3: big scenes through the fused megakernel (in-kernel
+        # treelet traversal, whole path loop resident)
+        "perf_glass_dragon_fusedtrav": (
+            lambda: meshes.glass_dragon_scene().build(), dragon_cam,
+            ht.RenderSettings(width=512, height=512, samples_per_pixel=32,
+                              max_bounces=12, ray_chunk_size=big_chunk,
+                              fused=Fused.FORCE), 2),
+        "perf_dragons_hero_fusedtrav": (
+            lambda: meshes.dragons_hero_scene().build(
+                envmap=Envmap.gradient_sky()), dragon_cam,
+            ht.RenderSettings(width=512, height=512, samples_per_pixel=64,
+                              max_bounces=8, use_envmap=True,
+                              ray_chunk_size=big_chunk,
+                              fused=Fused.FORCE), 2),
     }
     for key, (mk_scene, kcam, st, frames) in perf_cases.items():
         if not want(key):

@@ -167,3 +167,34 @@ def test_fused_envmap_matches_lockstep():
     fus = trace_color_fused(scene, o, d, CAM.far, sidx, seed, settings)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(fus),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_traversal_matches_lockstep():
+    """>MAX_TRIS scenes take the in-kernel skip-link treelet traversal
+    tier (VMEM-resident tables); radiance must match the lockstep tracer
+    (which itself routes through intersect_bvh on CPU) to float
+    tolerance. Matches the reference's in-megakernel BVH traversal
+    (HalgoenCompute.compute:876-950 -> :378-472)."""
+    from halogen_tpu.scene import meshes
+
+    scene = meshes.dragons_hero_scene(1, tris=1280).build(
+        envmap=Envmap.gradient_sky())
+    assert scene.num_triangles > 128
+    cam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                         fov_deg=45)
+    settings = ht.RenderSettings(width=12, height=12, max_bounces=3,
+                                 use_envmap=True)
+    assert fused_supported(scene, settings)
+    n = 144
+    pix = jnp.arange(n, dtype=jnp.int32)
+    seed = sob.pixel_seed(pix.astype(jnp.uint32))
+    sidx = sob.sample_index(jnp.uint32(1), jnp.uint32(0),
+                            settings.samples_per_pixel)
+    o, d = generate_rays(cam, pix % 12, pix // 12, 12, 12,
+                         settings.filter_radius, sidx, seed,
+                         sob.ld_sample_2d)
+    far = jnp.broadcast_to(cam.far, (n,))
+    ref = trace_rays(scene, o, d, far, sidx, seed, settings).color
+    fus = trace_color_fused(scene, o, d, cam.far, sidx, seed, settings)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fus),
+                               atol=1e-5, rtol=1e-5)
