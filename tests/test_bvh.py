@@ -2,6 +2,7 @@
 leaf, child AABBs within parents, contiguous children, bounded leaves; and
 traversal equivalence against brute force."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -65,6 +66,7 @@ def _two_backend_scene(n_tris=300):
     return s.build()
 
 
+@pytest.mark.slow
 def test_bvh_matches_brute_force():
     scene = _two_backend_scene()
     rng = np.random.default_rng(1)
@@ -91,6 +93,7 @@ def test_bvh_matches_brute_force():
     np.testing.assert_allclose(na, nb, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_bvh_with_transformed_mesh():
     s = Scene()
     tris = _random_mesh(100, seed=5)

@@ -27,6 +27,7 @@ def test_render_stats_mrays():
     np.testing.assert_allclose(st.mrays_per_sec, 10.0)
 
 
+@pytest.mark.slow
 def test_cli_render_and_bench(tmp_path, capsys):
     from halogen_tpu.cli.main import main
 

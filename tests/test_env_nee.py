@@ -26,6 +26,7 @@ def _spot_sky(height=32, strength=60.0):
     return Envmap.from_equirect(img, num_mips=2)
 
 
+@pytest.mark.slow
 def test_furnace_with_nee():
     """White furnace must stay ~1 with NEE+MIS enabled (energy check)."""
     s = Scene()
@@ -38,6 +39,7 @@ def test_furnace_with_nee():
     np.testing.assert_allclose(img.mean(), 1.0, atol=0.03)
 
 
+@pytest.mark.slow
 def test_nee_unbiased_vs_brdf():
     """NEE on vs off must agree in expectation (many spp, smooth sky)."""
     s = Scene()
@@ -50,6 +52,7 @@ def test_nee_unbiased_vs_brdf():
     assert abs(a.mean() - b.mean()) / a.mean() < 0.08
 
 
+@pytest.mark.slow
 def test_nee_reduces_variance_on_spot_light():
     """With a tiny bright envmap texel, NEE at low spp must be closer to
     the converged value than BRDF sampling at the same spp."""
@@ -73,6 +76,7 @@ def test_nee_reduces_variance_on_spot_light():
     assert err_nee < err_brdf * 0.7, (err_nee, err_brdf)
 
 
+@pytest.mark.slow
 def test_nee_respects_occlusion():
     """A blocker between surface and the bright texel must remove the NEE
     contribution (no light leaking through geometry)."""

@@ -39,6 +39,7 @@ def golden_configs():
     "name", ["cornell_diffuse", "cornell_glossy_dof", "envmap_nee",
              "glass_box"],
 )
+@pytest.mark.slow
 def test_golden_image(name, golden_configs):
     import halogen_tpu as ht
 

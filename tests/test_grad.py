@@ -59,6 +59,7 @@ def target(scene):
     return ht.render_frame(scene, CAM, ST, 7) * 0.8
 
 
+@pytest.mark.slow
 def test_emission_gradient_fd(scene, target):
     # emissive leaf: [K, 4]; find the emitter row
     em = np.asarray(scene.materials.emissive)
@@ -72,6 +73,7 @@ def test_albedo_gradient_fd(scene, target):
     _fd_check(scene, ST_FD, "albedo", [(r, 0) for r in rows], target)
 
 
+@pytest.mark.slow
 def test_absorption_gradient_fd(target):
     s = Scene()
     s.add_sphere((0, 0, 1.0), 0.6,
@@ -85,6 +87,7 @@ def test_absorption_gradient_fd(target):
     _fd_check(scene, st, "absorption", [(k, 0)], tgt)
 
 
+@pytest.mark.slow
 def test_envmap_gradient_flows():
     """d loss / d envmap texels must be nonzero for a sky-lit scene."""
     s = Scene()
@@ -99,6 +102,7 @@ def test_envmap_gradient_flows():
     assert total > 0.0
 
 
+@pytest.mark.slow
 def test_gradients_deterministic(scene, target):
     """Same frame -> bitwise identical gradients (replayable sampler)."""
     params = {"materials": scene.materials}
@@ -110,6 +114,7 @@ def test_gradients_deterministic(scene, target):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_fit_materials_converges():
     """Tiny inverse-rendering run: fitting an emissive intensity from a
     brighter target must increase it."""
@@ -125,6 +130,7 @@ def test_fit_materials_converges():
     assert em[:, 3].max() * em[:, :3].max() > 1.2
 
 
+@pytest.mark.slow
 def test_grads_finite_with_light_nee():
     """Regression: gradients through the light-NEE path must stay finite —
     MIS pdf state is detached (it once routed cotangents through

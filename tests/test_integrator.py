@@ -80,6 +80,7 @@ def test_cornell_golden_statistics():
     assert img[-6:, 8:-8].mean() > img[8:16, 8:-8].mean()
 
 
+@pytest.mark.slow
 def test_brute_and_bvh_render_identically():
     scene = cornell.cornell_box().build()
     a = _render(scene, BASE.replace(intersector=Intersector.BRUTE))
@@ -87,6 +88,7 @@ def test_brute_and_bvh_render_identically():
     np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_accumulation_matches_mean():
     """Progressive EMA accumulation must equal the arithmetic mean of the
     individual frames (AccumulationShader semantics)."""
@@ -98,6 +100,7 @@ def test_accumulation_matches_mean():
     np.testing.assert_allclose(img, np.mean(frames, axis=0), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_transparency_alpha_blend():
     """opacity=0 sphere in front of an emissive wall: rays pass through
     (with IOR 1 nothing bends) and see the emitter."""
@@ -127,6 +130,7 @@ def test_absorption_darkens():
     assert clear > 1.0
 
 
+@pytest.mark.slow
 def test_nested_dielectric_priority_skips_interface():
     """A low-precedence (higher value) inner interface inside a
     high-precedence medium must be ignored (false hit): the render with
@@ -148,6 +152,7 @@ def test_nested_dielectric_priority_skips_interface():
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bounce_limits_cut_paths():
     """max_bounces=0 (first interaction only) must kill all indirect
     light: a diffuse box lit only by a panel shows just the panel."""
@@ -159,6 +164,7 @@ def test_bounce_limits_cut_paths():
     assert img0[img0 > 0].size < imgN[imgN > 0].size
 
 
+@pytest.mark.slow
 def test_debug_views_shapes_and_ranges():
     scene = cornell.cornell_box().build()
     for mode in (DebugMode.ALBEDO, DebugMode.NORMAL,
@@ -171,6 +177,7 @@ def test_debug_views_shapes_and_ranges():
         assert img.min() >= 0.0
 
 
+@pytest.mark.slow
 def test_sampler_ablation_agrees():
     """Sobol and PRNG must converge to the same image (unbiasedness A/B,
     the OVERRIDE_SAMPLING_TO_PRNG ablation)."""
@@ -181,6 +188,7 @@ def test_sampler_ablation_agrees():
     assert abs(a.mean() - b.mean()) / a.mean() < 0.1
 
 
+@pytest.mark.slow
 def test_rr_unbiased():
     """Russian roulette on vs off must agree in expectation."""
     scene = cornell.cornell_box().build()
@@ -206,6 +214,7 @@ def test_thin_lens_defocus():
     assert (blur.mean(-1) > 0.01).sum() > (sharp.mean(-1) > 0.01).sum()
 
 
+@pytest.mark.slow
 def test_envmap_mip_bias_rough_vs_sharp():
     """The QUESTIONABLE_IMPORTANCE_SAMPLING mip trick: after a rough
     bounce the sky lookup should use a coarser mip than after a sharp

@@ -24,6 +24,7 @@ def test_light_table_built():
     assert float(scene.tri_light_pdf_area.max()) > 0
 
 
+@pytest.mark.slow
 def test_direct_view_unchanged():
     """A camera ray hitting the panel directly must show full emission
     (weight 1 — no previous diffuse bounce)."""
@@ -40,6 +41,7 @@ def test_direct_view_unchanged():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_nee_unbiased_on_cornell():
     """NEE on vs off must agree in expectation on the Cornell box."""
     scene = cornell.cornell_box().build()
@@ -51,6 +53,7 @@ def test_nee_unbiased_on_cornell():
     assert abs(a.mean() - b.mean()) / a.mean() < 0.06, (a.mean(), b.mean())
 
 
+@pytest.mark.slow
 def test_nee_reduces_cornell_noise():
     """At low spp, the NEE render must be closer to a converged reference
     than the BRDF-only render (the whole point: the panel is small)."""
@@ -67,6 +70,7 @@ def test_nee_reduces_cornell_noise():
     assert err_nee < err_brdf * 0.75, (err_nee, err_brdf)
 
 
+@pytest.mark.slow
 def test_nee_respects_occlusion():
     """A plate between the floor and the panel must shadow the NEE term."""
     def make(with_blocker):
@@ -86,6 +90,7 @@ def test_nee_respects_occlusion():
     assert np.isfinite(blocked).all()
 
 
+@pytest.mark.slow
 def test_wavefront_parity_with_light_nee():
     scene = cornell.cornell_box().build()
     st = BASE.replace(light_importance_sampling=True, samples_per_pixel=4,
@@ -95,6 +100,7 @@ def test_wavefront_parity_with_light_nee():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sphere_emitter_nee():
     """Emissive SPHERE (the reference's Glow Orbs case): NEE on/off must
     agree in expectation, and NEE must cut low-spp error."""
@@ -121,6 +127,7 @@ def test_sphere_emitter_nee():
     assert abs(hi_brdf.mean() - ref.mean()) / ref.mean() < 0.1
 
 
+@pytest.mark.slow
 def test_mixed_tri_and_sphere_lights():
     """Panel + orb together: the power CDF covers both; image stays
     unbiased vs BRDF-only."""

@@ -1,6 +1,7 @@
 """Geometry math unit tests: hand-computed cases for intersection,
 refraction, Schlick, and the slab test (SURVEY.md §4a)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -179,6 +180,7 @@ def test_transform_normal_nonuniform_scale():
     assert n2[1] > n2[2] > 0
 
 
+@pytest.mark.slow
 def test_procedural_glossy_pdf_is_a_density():
     """MC validation of core.math.procedural_glossy_pdf: it must (a)
     integrate to ~1 over the sphere and (b) match the empirical density

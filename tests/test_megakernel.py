@@ -48,6 +48,7 @@ def _rays(settings, w=16, frame=0):
     (SamplerKind.SOBOL, False),
     (SamplerKind.PRNG, True),
 ])
+@pytest.mark.slow
 def test_fused_matches_lockstep(sampler, rr):
     scene = cornell.cornell_box(glossy=True).build()
     settings = ht.RenderSettings(width=16, height=16, max_bounces=4,
@@ -60,6 +61,7 @@ def test_fused_matches_lockstep(sampler, rr):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_bounce_limits():
     """Per-type bounce limits with `>` semantics must agree."""
     scene = cornell.cornell_box(glossy=True).build()
@@ -73,6 +75,7 @@ def test_fused_bounce_limits():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_gradients_match_lockstep():
     """trace_color_fused_diff: fused forward, lockstep-replay backward.
     Gradients w.r.t. material parameters must equal the lockstep tracer's
@@ -105,6 +108,7 @@ def test_fused_gradients_match_lockstep():
                                    atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_render_pixels_fused_dispatch_matches():
     """render_pixels with Fused.FORCE must match Fused.OFF on an eligible
     scene (the AUTO dispatch contract, minus the TPU-backend gate)."""
@@ -139,6 +143,7 @@ def test_fused_eligibility_gates():
     assert ok.num_triangles <= MAX_TRIS
 
 
+@pytest.mark.slow
 def test_fused_glass_matches_lockstep():
     """Nested-dielectric path (in-kernel medium stack): bit-parity with
     the lockstep tracer on the glass-in-glass fixture. stack_depth=4 is
@@ -155,6 +160,7 @@ def test_fused_glass_matches_lockstep():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_envmap_matches_lockstep():
     """Deferred-miss environment shading (incl. the accumulated-roughness
     mip bias) must match the lockstep tracer's in-loop sky sampling."""
@@ -169,6 +175,7 @@ def test_fused_envmap_matches_lockstep():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_traversal_matches_lockstep():
     """>MAX_TRIS scenes take the in-kernel skip-link treelet traversal
     tier (VMEM-resident tables); radiance must match the lockstep tracer

@@ -50,6 +50,7 @@ def test_sah_beats_midpoint_on_sah_cost():
     assert c_sah <= c_mid * 1.05  # never meaningfully worse
 
 
+@pytest.mark.slow
 def test_sah_render_matches_midpoint():
     import jax.numpy as jnp
     import halogen_tpu as ht

@@ -15,6 +15,7 @@ ST = ht.RenderSettings(width=24, height=24, samples_per_pixel=2,
                        max_bounces=2, ray_chunk_size=576)
 
 
+@pytest.mark.slow
 def test_pallas_matches_brute_cornell():
     scene = cornell.cornell_box().build()
     a = np.asarray(ht.render_frame(scene, CAM, ST.replace(
@@ -24,6 +25,7 @@ def test_pallas_matches_brute_cornell():
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_matches_bvh_dragons():
     cam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
                          fov_deg=45)
@@ -60,6 +62,7 @@ def test_pallas_sphere_priority():
     assert corner[1] > 0.9  # wall (green) visible around it
 
 
+@pytest.mark.slow
 def test_chunked_world_bvh_matches_single():
     """Large-scene chunked packing must produce identical hits to the
     single resident chunk (and both match brute force)."""
@@ -100,6 +103,7 @@ def test_chunked_world_bvh_matches_single():
                                rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_treelet_matches_bvh_dragons():
     """Per-ray treelet traversal kernel (kernels/treelet_bvh.py): full
     render parity with the lockstep BVH intersector on a multi-treelet
@@ -117,6 +121,7 @@ def test_treelet_matches_bvh_dragons():
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_treelet_kernel_exact_vs_shared_stack():
     """Raw kernel contract: treelet traversal returns bit-identical
     (t, tri, u, v, sign) to the shared-stack kernel on random rays."""

@@ -2,6 +2,7 @@
 and envmap table shapes (reference HalogenRenderPass.UpdateObjectBuffers,
 SURVEY.md §2 #8/#9)."""
 
+import pytest
 import numpy as np
 
 from halogen_tpu.scene.envmap import Envmap
@@ -99,6 +100,7 @@ def test_scene_without_envmap_has_no_tables():
     assert sc.env_cdf is None
 
 
+@pytest.mark.slow
 def test_feature_matrix_scenes_render():
     """Every reference test-scene group constructor builds and renders
     finite images (the feature-matrix sandbox, SURVEY.md §2 assets)."""

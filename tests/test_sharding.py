@@ -36,6 +36,7 @@ def reference_img(scene):
 
 
 @pytest.mark.parametrize("px,spp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+@pytest.mark.slow
 def test_sharded_matches_single_device(scene, reference_img, px, spp):
     """The image must be identical (up to reduction order) for every mesh
     shape — pixel shards, spp shards, and mixes."""
@@ -44,6 +45,7 @@ def test_sharded_matches_single_device(scene, reference_img, px, spp):
     np.testing.assert_allclose(img, reference_img, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_nondivisible_pixels(scene):
     """Pixel counts not divisible by the shard count must pad correctly."""
     st = ST.replace(width=17, height=9, ray_chunk_size=64)
@@ -54,6 +56,7 @@ def test_sharded_nondivisible_pixels(scene):
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_sharded_reduces_loss(scene):
     """One sharded SGD step toward a black target must darken emissive
     materials and report a finite psum'd loss."""
@@ -72,6 +75,7 @@ def test_train_step_sharded_reduces_loss(scene):
                                   np.asarray(mats.priority))
 
 
+@pytest.mark.slow
 def test_train_step_matches_unsharded_grads(scene):
     """psum'd sharded gradients == single-device gradients."""
     from halogen_tpu.parallel.sharding import _padded_pixels

@@ -16,6 +16,7 @@ ST = ht.RenderSettings(width=24, height=24, samples_per_pixel=4,
 
 
 @pytest.mark.parametrize("scene_name", ["cornell", "glass", "sky"])
+@pytest.mark.slow
 def test_wavefront_matches_lockstep(scene_name):
     if scene_name == "cornell":
         scene = cornell.cornell_box().build()
@@ -33,6 +34,7 @@ def test_wavefront_matches_lockstep(scene_name):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_wavefront_block_size_invariance():
     scene = cornell.cornell_box().build()
     a = np.asarray(ht.render_frame(
@@ -42,6 +44,7 @@ def test_wavefront_block_size_invariance():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_wavefront_gradients_match_lockstep():
     """The custom_vjp wavefront path (wavefront forward, lockstep replay
     backward) must yield the same loss AND gradients as lockstep."""
@@ -65,6 +68,7 @@ def test_wavefront_gradients_match_lockstep():
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_wavefront_nondivisible_pool():
     """Pool size not divisible by the block: padding must not leak."""
     scene = cornell.cornell_box().build()
