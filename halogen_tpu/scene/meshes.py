@@ -255,3 +255,111 @@ def dragons_hero_scene(n: int = 3, tris: int | None = None) -> Scene:
         s.add_mesh(verts, faces, mats[i % len(mats)],
                    transform=_scale_translate(0.6, (x, -0.4, -i * 0.7)))
     return s
+
+
+def _real_mesh(fixture_name: str, fbx_name: str):
+    """Committed-npz fixture with FBX fallback (see real_dragon_mesh)."""
+    import pathlib
+
+    fixture = pathlib.Path(__file__).parent / "assets" / fixture_name
+    if fixture.exists():
+        data = np.load(fixture)
+        return data["verts"], data["faces"]
+    from halogen_tpu.scene.fbx import load_fbx_geometry, normalized
+
+    v, f = load_fbx_geometry(f"/root/reference/Assets/Models/{fbx_name}")
+    return normalized(v, 2.0).astype(np.float32), f
+
+
+def real_suzanne_mesh():
+    """The reference's `Suzanne Final.fbx` (15,744 triangles, used by the
+    Testing Scene's Suzanne group). Normalized to a 2-unit box."""
+    return _real_mesh("suzanne.npz", "Suzanne Final.fbx")
+
+
+def real_closet_mesh():
+    """The reference's `Closet_Solid.fbx` (540 triangles, the Testing
+    Scene's Closet interior). Normalized to a 2-unit box."""
+    return _real_mesh("closet.npz", "Closet_Solid.fbx")
+
+
+def suzanne_scene() -> Scene:
+    """Testing Scene 'Suzanne' group equivalent (`Assets/Scenes/Testing
+    Scene.unity`): the Suzanne mesh over a floor, one glossy + one
+    diffuse companion sphere."""
+    s = Scene()
+    floor = Material.diffuse((0.55, 0.55, 0.55))
+    s.add_mesh(
+        np.array([(-6, -1, -6), (6, -1, -6), (6, -1, 6), (-6, -1, 6)],
+                 np.float32),
+        np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        floor,
+    )
+    verts, faces = real_suzanne_mesh()
+    s.add_mesh(verts, faces, Material.diffuse((0.75, 0.55, 0.35)),
+               transform=_scale_translate(0.8, (0.0, -0.2, 0.0)))
+    s.add_sphere((1.6, -0.5, 0.6), 0.5,
+                 Material.metal((0.9, 0.9, 0.92), roughness=0.1))
+    s.add_sphere((-1.6, -0.5, 0.6), 0.5, Material.diffuse((0.2, 0.4, 0.7)))
+    return s
+
+
+def closet_scene() -> Scene:
+    """Testing Scene 'Closet' group equivalent: the Closet_Solid interior
+    with an emissive panel and a pair of demo spheres inside."""
+    s = Scene()
+    verts, faces = real_closet_mesh()
+    s.add_mesh(verts, faces, Material.diffuse((0.7, 0.68, 0.62)),
+               transform=_scale_translate(1.4, (0.0, 0.0, 0.0)))
+    s.add_sphere((0.0, 0.9, 0.0), 0.12,
+                 Material.emissive((1.0, 0.95, 0.9), 8.0))
+    s.add_sphere((-0.35, -0.5, 0.1), 0.22,
+                 Material.metal((0.95, 0.75, 0.4), roughness=0.25))
+    s.add_sphere((0.35, -0.55, -0.1), 0.18,
+                 Material.glass(ior=1.5, priority=0))
+    return s
+
+
+def outdoors_scene() -> Scene:
+    """Testing Scene 'OutdoorsScene' group equivalent: ground plane +
+    mixed-material spheres lit by the sky envmap (build with
+    `envmap=...`; the group relies on the HDRI sky, reference settings
+    `useHDRISky`, HalogenRenderFeature.cs:47-52)."""
+    s = Scene()
+    ground = Material.diffuse((0.45, 0.5, 0.35))
+    s.add_mesh(
+        np.array([(-30, -1, -30), (30, -1, -30), (30, -1, 30),
+                  (-30, -1, 30)], np.float32),
+        np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        ground,
+    )
+    mats = [
+        Material.diffuse((0.8, 0.3, 0.25)),
+        Material.metal((0.9, 0.9, 0.9), roughness=0.05),
+        Material.glass(ior=1.5, priority=0),
+        Material.metal((0.95, 0.7, 0.4), roughness=0.35),
+        Material.diffuse((0.25, 0.35, 0.75)),
+    ]
+    for i, m in enumerate(mats):
+        s.add_sphere((i * 1.4 - 2.8, -0.45, -(i % 2) * 1.2), 0.55, m)
+    return s
+
+
+def bvh_test_scene(tris: int = 4000) -> Scene:
+    """Testing Scene 'BVH Test' group equivalent: dense high-poly
+    geometry (torus knot) whose render exercises deep traversal — used
+    with the tri/box-test debug heatmaps (HalgoenCompute.compute:841-855)."""
+    s = Scene()
+    floor = Material.diffuse((0.5, 0.5, 0.5))
+    s.add_mesh(
+        np.array([(-8, -1.2, -8), (8, -1.2, -8), (8, -1.2, 8),
+                  (-8, -1.2, 8)], np.float32),
+        np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        floor,
+    )
+    seg = max(16, int(np.sqrt(tris / 2)) * 2)
+    verts, faces = torus_knot(segments=seg, tube_segments=max(8, seg // 8))
+    s.add_mesh(verts, faces, Material.metal((0.8, 0.82, 0.85),
+                                            roughness=0.2),
+               transform=_scale_translate(0.8, (0.0, -0.1, 0.0)))
+    return s

@@ -163,8 +163,13 @@ class Scene:
         tv_world_cat = cat(tv_world, (0, 3, 3))
         wbvh = None
         tbvh = None
+        fbvh = None
         if world_bvh and tv_world_cat.shape[0] > 0:
             from halogen_tpu.kernels.bvh_pallas import pack_world_bvh_auto
+            from halogen_tpu.kernels.flatlet import (
+                FLATLET_MAX_TRIS,
+                pack_flatlets,
+            )
             from halogen_tpu.kernels.treelet_bvh import (
                 TREELET_MAX_TRIS,
                 pack_treelet_bvh,
@@ -177,6 +182,8 @@ class Scene:
                     tri_normals_world=cat(tn_world, (0, 3, 3)),
                     tri_materials=cat(tri_mat, (0,), np.int32).astype(
                         np.float32))
+            if tv_world_cat.shape[0] <= FLATLET_MAX_TRIS:
+                fbvh = pack_flatlets(tv_world_cat, max_leaf=max_leaf)
 
         from halogen_tpu.scene.lights import build_light_table
 
@@ -227,6 +234,7 @@ class Scene:
             sphere_light_sel=jnp.asarray(sphere_light_sel),
             wbvh=wbvh,
             tbvh=tbvh,
+            fbvh=fbvh,
             # Static: any material that can refract (transmission alpha < 1)?
             # False lets the integrator skip the nested-dielectric stack
             # machinery — it is provably a no-op in fully opaque scenes.

@@ -77,3 +77,27 @@ def test_real_dragon_renders():
     assert np.isfinite(img).all()
     center = img[8:16, 8:16]
     assert center[..., 0].mean() > 0.5  # emissive dragon fills the middle
+
+
+@pytest.mark.parametrize("fbx,loader,expect_faces", [
+    ("Suzanne Final.fbx", "real_suzanne_mesh", 15744),
+    ("Closet_Solid.fbx", "real_closet_mesh", 540),
+])
+def test_fbx_parses_remaining_reference_meshes(fbx, loader, expect_faces):
+    """All three reference meshes load: Dragon_8k + Suzanne Final +
+    Closet_Solid (`/root/reference/Assets/Models/`)."""
+    import halogen_tpu.scene.meshes as meshes
+
+    verts, faces = getattr(meshes, loader)()
+    assert len(faces) == expect_faces
+    areas = _mesh_stats(verts, faces)
+    assert (areas > 0).mean() > 0.99
+    # fixture matches a fresh parse when the reference tree is present
+    path = pathlib.Path("/root/reference/Assets/Models") / fbx
+    if path.exists():
+        from halogen_tpu.scene.fbx import load_fbx_geometry, normalized
+
+        v2, f2 = load_fbx_geometry(str(path))
+        assert len(f2) == expect_faces
+        np.testing.assert_allclose(
+            normalized(v2, 2.0), verts, atol=1e-5)
