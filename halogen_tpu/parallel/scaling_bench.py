@@ -79,12 +79,102 @@ def main(argv=None) -> int:
     ap.add_argument("--bounces", type=int, default=4)
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--spp-shards", type=int, default=1)
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling (fixed work per device) + "
+                         "contention control")
     args = ap.parse_args(argv)
-    for rec in run_scaling_bench(args.width, args.spp, args.bounces,
-                                 args.frames, args.spp_shards):
+    if args.weak:
+        recs = run_weak_scaling_bench(width=args.width, spp=args.spp,
+                                      bounces=args.bounces,
+                                      frames=args.frames)
+    else:
+        recs = run_scaling_bench(args.width, args.spp, args.bounces,
+                                 args.frames, args.spp_shards)
+    for rec in recs:
         print(json.dumps(rec))
     return 0
 
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def run_weak_scaling_bench(base_height=64, width=256, spp=8, bounces=4,
+                           frames=2):
+    """Weak scaling: FIXED work per device (the image grows with the
+    mesh: height = base_height * n_devices, pixel-sharded), so ideal
+    wall time is flat and efficiency = t(1)/t(n).
+
+    Alongside, a contention control: an embarrassingly parallel batched
+    matmul of fixed per-device size under the same mesh sizes. On a
+    virtual CPU mesh the control's degradation measures host-core
+    contention; renderer efficiency divided by control efficiency
+    isolates the sharded program's own overhead (collectives, reshard,
+    load imbalance) — the number the >=85% target is about.
+    """
+    import numpy as np
+    import halogen_tpu as ht
+    from halogen_tpu.scene import cornell
+    from halogen_tpu.parallel.sharding import (
+        make_render_mesh, render_frame_sharded)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    scene = cornell.cornell_box(glossy=True).build()
+    camera = ht.make_camera(position=(0, 0, 3.2), target=(0, 0, 0),
+                            fov_deg=40)
+
+    devices = jax.devices()
+    sizes = []
+    d = 1
+    while d <= len(devices):
+        sizes.append(d)
+        d *= 2
+
+    results = []
+    t_base = None
+    c_base = None
+    for nd in sizes:
+        settings = ht.RenderSettings(
+            width=width, height=base_height * nd, samples_per_pixel=spp,
+            max_bounces=bounces,
+            ray_chunk_size=width * base_height * spp,
+        )
+        mesh = make_render_mesh(nd, 1, devices=devices[:nd])
+        img = render_frame_sharded(scene, camera, settings, 0, mesh)
+        img.block_until_ready()
+        t0 = time.perf_counter()
+        for f in range(frames):
+            img = render_frame_sharded(scene, camera, settings, f + 1, mesh)
+        img.block_until_ready()
+        dt = (time.perf_counter() - t0) / frames
+
+        # contention control: per-device fixed batched matmul, no comms
+        k = 512
+        x = jnp.ones((nd, k, k), jnp.float32)
+        cmesh = jax.sharding.Mesh(np.array(devices[:nd]), ("d",))
+        xs = jax.device_put(x, NamedSharding(cmesh, P("d", None, None)))
+
+        @jax.jit
+        def work(xs):
+            def body(r, a):
+                return jnp.tanh(a @ a * 1e-3 + r)
+            return jax.lax.fori_loop(0.0, 40.0, body, xs)
+
+        work(xs).block_until_ready()
+        t0 = time.perf_counter()
+        work(xs).block_until_ready()
+        ctl = time.perf_counter() - t0
+
+        if t_base is None:
+            t_base, c_base = dt, ctl
+        eff = t_base / dt
+        ctl_eff = c_base / ctl
+        results.append({
+            "devices": nd,
+            "sec_per_frame": round(dt, 4),
+            "weak_efficiency": round(eff, 4),
+            "control_efficiency": round(ctl_eff, 4),
+            "program_efficiency": round(min(eff / max(ctl_eff, 1e-9),
+                                            1.0), 4),
+        })
+    return results
