@@ -55,17 +55,19 @@ class Intersector(enum.IntEnum):
 
     AUTO selects BRUTE for small scenes (regular, gather-free — maps
     perfectly onto the TPU VPU) and, above the triangle threshold, the
-    per-ray TREELET kernel on TPU (falling back to the shared-stack
-    PALLAS kernel for scenes beyond the treelet VMEM cap) or the
-    lockstep JAX traversal elsewhere (BVH). The reference has only a
-    per-mesh BVH megakernel path (`HalgoenCompute.compute:378-472`).
+    FLATLET worklist kernel on TPU (falling back to the shared-stack
+    PALLAS kernel for scenes beyond the flatlet VMEM cap) or the
+    lockstep JAX traversal elsewhere (BVH). AUTO choices cite on-chip
+    A/B measurements in perf/tpu_evidence.jsonl. The reference has only
+    a per-mesh BVH megakernel path (`HalgoenCompute.compute:378-472`).
     """
 
     AUTO = 0
     BRUTE = 1
     BVH = 2
     PALLAS = 3  # shared-stack block traversal (coherent rays, any size)
-    TREELET = 4  # per-ray skip-link treelet traversal (incoherent rays)
+    TREELET = 4  # per-ray skip-link treelet traversal (monotone schedule)
+    FLATLET = 5  # dense flat-treelet worklist kernel (kernels/flatlet.py)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -124,6 +124,12 @@ class SceneData:
     # workhorse, built for scenes within its VMEM-resident cap.
     tbvh: object = None
 
+    # Flat-treelet tables for the dense worklist kernel
+    # (kernels/flatlet.FlatletBVH), or None. The big-scene workhorse:
+    # dense ray x flatlet-AABB culling + per-union dense triangle
+    # tiles, no per-lane gathers (see kernels/flatlet.py).
+    fbvh: object = None
+
     # Static (jit-specializing) scene facts, computed at build time.
     # `any_transmissive`: does any material have transmission alpha < 1?
     # When False the nested-dielectric stack is provably always empty and

@@ -473,6 +473,7 @@ def _sort_keys_with_dead_last(scene, origin, direction, far):
 def intersect_pallas(
     scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
     far: jnp.ndarray, sort_rays: bool = True, use_treelet: bool = False,
+    use_flatlet: bool = False,
 ):
     """Closest hit via the Pallas block-synchronous world-BVH kernel.
 
@@ -491,6 +492,7 @@ def intersect_pallas(
     is bit-identical either way (results return to their original lanes).
     """
     from halogen_tpu.kernels.bvh_pallas import traverse_world_bvh_any
+    from halogen_tpu.kernels.flatlet import traverse_flatlets
     from halogen_tpu.kernels.treelet_bvh import traverse_treelets
 
     n = origin.shape[0]
@@ -506,7 +508,10 @@ def intersect_pallas(
     seed = jnp.minimum(far, jnp.where(sp_t < INF, sp_t - HIT_EPS, INF))
     interpret = jax.default_backend() != "tpu"
 
-    if use_treelet and scene.tbvh is not None:
+    if use_flatlet and scene.fbvh is not None:
+        trav = lambda o, d, s: traverse_flatlets(
+            scene.fbvh, o, d, s, interpret=interpret)
+    elif use_treelet and scene.tbvh is not None:
         trav = lambda o, d, s: traverse_treelets(
             scene.tbvh, o, d, s, interpret=interpret)
     else:
@@ -559,17 +564,24 @@ def intersect_scene(
     if kind == Intersector.AUTO:
         if scene.num_triangles <= settings.brute_force_max_tris:
             kind = Intersector.BRUTE
-        elif on_tpu and scene.tbvh is not None:
-            kind = Intersector.TREELET
+        elif on_tpu and scene.fbvh is not None:
+            # On-chip A/B (perf/tpu_evidence.jsonl, glass_dragon 8.7k
+            # tris): flatlet >> treelet (0.44) >> shared-stack (0.33).
+            kind = Intersector.FLATLET
         elif on_tpu and scene.wbvh is not None:
             kind = Intersector.PALLAS
         else:
             kind = Intersector.BVH
+    if kind == Intersector.FLATLET and scene.fbvh is None:
+        kind = Intersector.PALLAS  # beyond the flatlet VMEM cap
     if kind == Intersector.TREELET and scene.tbvh is None:
         kind = Intersector.PALLAS  # beyond the treelet VMEM cap
     if kind == Intersector.BRUTE:
         return intersect_brute(scene, origin, direction, far,
                                settings.triangle_block)
+    if kind == Intersector.FLATLET:
+        return intersect_pallas(scene, origin, direction, far,
+                                use_flatlet=True)
     if kind == Intersector.TREELET:
         return intersect_pallas(scene, origin, direction, far,
                                 use_treelet=True)
