@@ -53,6 +53,7 @@ counts. Same contract as `bvh_pallas.traverse_world_bvh_any`.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import numpy as np
@@ -75,7 +76,9 @@ INF = np.float32(np.inf)
 BIG = np.float32(3e38)
 
 
-class FlatletBVH(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FlatletBVH:
     """Host-packed flatlet tables (device arrays).
 
     boxes: [G, 6, RAY_SUB, BOX_LANE] f32 — flatlet j at lane j%128 of
@@ -91,7 +94,7 @@ class FlatletBVH(NamedTuple):
 
     boxes: jnp.ndarray
     tris: jnp.ndarray
-    leaf_tris: int
+    leaf_tris: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_flatlets(self) -> int:
@@ -155,6 +158,9 @@ def pack_flatlets(tri_verts_world: np.ndarray, leaf_tris: int = 128,
 
     tv = np.asarray(tri_verts_world, np.float32)
     L = min(leaf_tris, RAY_LANE)
+    # The dense tri pass runs L // TRI_CHUNK chunks; a non-multiple
+    # would silently skip the tail triangles of every flatlet.
+    L = -(-L // TRI_CHUNK) * TRI_CHUNK
     bvh = build_bvh(tv.copy(), max_leaf=max_leaf, max_depth=max_depth)
     order = bvh.tri_order
     gids = (np.asarray(tri_ids, np.int64)[order]
@@ -294,8 +300,13 @@ def _flatlet_kernel(G: int, L: int, mode: str = "near"):
                 emin, best = c
                 if mode == "near":
                     # stop once the nearest remaining entry cannot beat
-                    # any ray's best-t (pad rays best_t=-1: no effect)
-                    return jnp.min(emin) < jnp.max(best[0])
+                    # any ray's best-t (pad rays best_t=-1: no effect).
+                    # The `< BIG` guard keeps the loop finite when a
+                    # ray's best-t is +inf (no sphere hit, far=inf):
+                    # without it an exhausted worklist (emin all BIG)
+                    # still satisfies BIG < inf and re-pops forever.
+                    return (jnp.min(emin) < BIG) & (
+                        jnp.min(emin) < jnp.max(best[0]))
                 return jnp.min(
                     jnp.where(emin < BIG, lane_iota, 9999)) < 9999
 

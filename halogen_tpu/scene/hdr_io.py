@@ -234,6 +234,11 @@ def read_exr(path: str) -> np.ndarray:
         expect = line_bytes * nlines
         if compression == _COMP_NONE:
             block = raw
+        elif len(raw) == expect:
+            # Spec-sanctioned stored-raw chunk: a ZIP block is written
+            # uncompressed when deflate does not shrink it (write_exr
+            # below emits these too).
+            block = raw
         else:
             block = zlib.decompress(raw)
             if len(block) != expect:

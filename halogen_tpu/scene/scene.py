@@ -182,7 +182,10 @@ class Scene:
                     tri_normals_world=cat(tn_world, (0, 3, 3)),
                     tri_materials=cat(tri_mat, (0,), np.int32).astype(
                         np.float32))
-            if tv_world_cat.shape[0] <= FLATLET_MAX_TRIS:
+            # Flatlet tables cost up to ~21 MB of device arrays; scenes
+            # small enough that AUTO routes them to BRUTE (or that one
+            # treelet covers) never read them, so gate on size.
+            if 128 < tv_world_cat.shape[0] <= FLATLET_MAX_TRIS:
                 fbvh = pack_flatlets(tv_world_cat, max_leaf=max_leaf)
 
         from halogen_tpu.scene.lights import build_light_table

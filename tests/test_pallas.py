@@ -158,3 +158,78 @@ def test_treelet_kernel_exact_vs_shared_stack():
     for a, b, name in zip(r1[1:5], r2[1:5], "tri u v s".split()):
         np.testing.assert_array_equal(np.asarray(a)[hit],
                                       np.asarray(b)[hit], err_msg=name)
+
+
+def _flatlet_ray_set(n=512, seed=0, inf_seeds=False):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 3.0
+    tgt = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    d = tgt - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    if inf_seeds:
+        # legal input for the traverse contract: no sphere hit, far=inf
+        ts = np.full((n,), np.inf, np.float32)
+        ts[::3] = 1e30
+    else:
+        ts = np.full((n,), 1e30, np.float32)
+    return o, d, ts
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["near", "order", "plain"])
+@pytest.mark.parametrize("inf_seeds", [False, True])
+def test_flatlet_kernel_exact_vs_shared_stack(mode, inf_seeds):
+    """Raw kernel contract: flatlet worklist traversal returns the same
+    closest hit (t, tri, u, v, sign) as the shared-stack kernel, for all
+    extraction modes, including rays with +inf best-t seeds (the
+    termination edge case: ADVICE r3 #1) and pad lanes (n=512 pads the
+    1024-ray block with 512 dead rays)."""
+    from halogen_tpu.kernels.bvh_pallas import (
+        pack_world_bvh,
+        traverse_world_bvh_any,
+    )
+    from halogen_tpu.kernels.flatlet import pack_flatlets, traverse_flatlets
+    from halogen_tpu.scene.meshes import dragon_mesh
+    import jax.numpy as jnp
+
+    verts, faces = dragon_mesh(2)
+    tv = verts[faces]
+    fb = pack_flatlets(np.asarray(tv))
+    assert fb.num_flatlets > 4
+    wb = pack_world_bvh(np.asarray(tv))
+    o, d, ts = _flatlet_ray_set(inf_seeds=inf_seeds)
+    seed = jnp.asarray(ts)
+    r1 = traverse_world_bvh_any(wb, jnp.asarray(o), jnp.asarray(d), seed,
+                                interpret=True)
+    r2 = traverse_flatlets(fb, jnp.asarray(o), jnp.asarray(d), seed,
+                           interpret=True, mode=mode)
+    t1, t2 = np.asarray(r1[0]), np.asarray(r2[0])
+    np.testing.assert_array_equal(t1, t2, err_msg="t")
+    hit = np.isfinite(t1)
+    assert hit.mean() > 0.5
+    for a, b, name in zip((r1[1], r1[4]), (r2[1], r2[4]), ("tri", "s")):
+        np.testing.assert_array_equal(np.asarray(a)[hit],
+                                      np.asarray(b)[hit], err_msg=name)
+    # u/v may differ by a few ULP on the CPU backend: XLA contracts the
+    # mul+add chains into fma differently across the two lowerings.
+    for a, b, name in zip(r1[2:4], r2[2:4], ("u", "v")):
+        np.testing.assert_allclose(np.asarray(a)[hit],
+                                   np.asarray(b)[hit],
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+@pytest.mark.slow
+def test_flatlet_matches_bvh_dragons():
+    """Full render parity: FLATLET intersector vs the lockstep BVH
+    intersector on a multi-flatlet scene."""
+    cam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                         fov_deg=45)
+    scene = dragons_hero_scene(2, tris=1280).build(
+        envmap=Envmap.gradient_sky())
+    assert scene.fbvh is not None and scene.fbvh.num_flatlets > 1
+    st = ST.replace(use_envmap=True)
+    a = np.asarray(ht.render_frame(scene, cam, st.replace(
+        intersector=Intersector.BVH), 1))
+    b = np.asarray(ht.render_frame(scene, cam, st.replace(
+        intersector=Intersector.FLATLET), 1))
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
