@@ -564,10 +564,11 @@ def intersect_scene(
     if kind == Intersector.AUTO:
         if scene.num_triangles <= settings.brute_force_max_tris:
             kind = Intersector.BRUTE
-        elif on_tpu and scene.fbvh is not None:
+        elif on_tpu and scene.tbvh is not None:
             # On-chip A/B (perf/tpu_evidence.jsonl, glass_dragon 8.7k
-            # tris): flatlet >> treelet (0.44) >> shared-stack (0.33).
-            kind = Intersector.FLATLET
+            # tris): treelet 0.44 > flatlet 0.33 = shared-stack 0.33
+            # Mrays/s — AUTO follows the recorded measurements.
+            kind = Intersector.TREELET
         elif on_tpu and scene.wbvh is not None:
             kind = Intersector.PALLAS
         else:
