@@ -55,11 +55,12 @@ class Intersector(enum.IntEnum):
 
     AUTO selects BRUTE for small scenes (regular, gather-free — maps
     perfectly onto the TPU VPU) and, above the triangle threshold, the
-    FLATLET worklist kernel on TPU (falling back to the shared-stack
-    PALLAS kernel for scenes beyond the flatlet VMEM cap) or the
-    lockstep JAX traversal elsewhere (BVH). AUTO choices cite on-chip
-    A/B measurements in perf/tpu_evidence.jsonl. The reference has only
-    a per-mesh BVH megakernel path (`HalgoenCompute.compute:378-472`).
+    RAYLET per-ray worklist kernel on TPU (falling back to the
+    shared-stack PALLAS kernel for scenes beyond the raylet VMEM cap)
+    or the lockstep JAX traversal elsewhere (BVH). AUTO choices cite
+    on-chip A/B measurements in perf/tpu_evidence.jsonl. The reference
+    has only a per-mesh BVH megakernel path
+    (`HalgoenCompute.compute:378-472`).
     """
 
     AUTO = 0
@@ -68,6 +69,7 @@ class Intersector(enum.IntEnum):
     PALLAS = 3  # shared-stack block traversal (coherent rays, any size)
     TREELET = 4  # per-ray skip-link treelet traversal (monotone schedule)
     FLATLET = 5  # dense flat-treelet worklist kernel (kernels/flatlet.py)
+    RAYLET = 6  # per-ray worklist + one-hot MXU gather (kernels/raylet.py)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -130,6 +130,13 @@ class SceneData:
     # tiles, no per-lane gathers (see kernels/flatlet.py).
     fbvh: object = None
 
+    # Raylet tables (kernels/raylet.RayletBVH), or None: per-ray
+    # nearest-first worklists over the flatlet cut, triangle tiles
+    # fetched by one-hot MXU matmuls. The incoherent-bounce-ray
+    # workhorse — cost scales with per-ray candidate counts, not with
+    # block unions (see kernels/raylet.py).
+    rbvh: object = None
+
     # Static (jit-specializing) scene facts, computed at build time.
     # `any_transmissive`: does any material have transmission alpha < 1?
     # When False the nested-dielectric stack is provably always empty and

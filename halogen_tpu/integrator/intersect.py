@@ -473,7 +473,7 @@ def _sort_keys_with_dead_last(scene, origin, direction, far):
 def intersect_pallas(
     scene: SceneData, origin: jnp.ndarray, direction: jnp.ndarray,
     far: jnp.ndarray, sort_rays: bool = True, use_treelet: bool = False,
-    use_flatlet: bool = False,
+    use_flatlet: bool = False, use_raylet: bool = False,
 ):
     """Closest hit via the Pallas block-synchronous world-BVH kernel.
 
@@ -493,6 +493,7 @@ def intersect_pallas(
     """
     from halogen_tpu.kernels.bvh_pallas import traverse_world_bvh_any
     from halogen_tpu.kernels.flatlet import traverse_flatlets
+    from halogen_tpu.kernels.raylet import traverse_raylets
     from halogen_tpu.kernels.treelet_bvh import traverse_treelets
 
     n = origin.shape[0]
@@ -508,7 +509,10 @@ def intersect_pallas(
     seed = jnp.minimum(far, jnp.where(sp_t < INF, sp_t - HIT_EPS, INF))
     interpret = jax.default_backend() != "tpu"
 
-    if use_flatlet and scene.fbvh is not None:
+    if use_raylet and scene.rbvh is not None:
+        trav = lambda o, d, s: traverse_raylets(
+            scene.rbvh, o, d, s, interpret=interpret)
+    elif use_flatlet and scene.fbvh is not None:
         trav = lambda o, d, s: traverse_flatlets(
             scene.fbvh, o, d, s, interpret=interpret)
     elif use_treelet and scene.tbvh is not None:
@@ -573,6 +577,8 @@ def intersect_scene(
             kind = Intersector.PALLAS
         else:
             kind = Intersector.BVH
+    if kind == Intersector.RAYLET and scene.rbvh is None:
+        kind = Intersector.PALLAS  # beyond the raylet VMEM cap
     if kind == Intersector.FLATLET and scene.fbvh is None:
         kind = Intersector.PALLAS  # beyond the flatlet VMEM cap
     if kind == Intersector.TREELET and scene.tbvh is None:
@@ -580,6 +586,9 @@ def intersect_scene(
     if kind == Intersector.BRUTE:
         return intersect_brute(scene, origin, direction, far,
                                settings.triangle_block)
+    if kind == Intersector.RAYLET:
+        return intersect_pallas(scene, origin, direction, far,
+                                use_raylet=True)
     if kind == Intersector.FLATLET:
         return intersect_pallas(scene, origin, direction, far,
                                 use_flatlet=True)

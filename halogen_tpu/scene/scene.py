@@ -164,11 +164,16 @@ class Scene:
         wbvh = None
         tbvh = None
         fbvh = None
+        rbvh = None
         if world_bvh and tv_world_cat.shape[0] > 0:
             from halogen_tpu.kernels.bvh_pallas import pack_world_bvh_auto
             from halogen_tpu.kernels.flatlet import (
                 FLATLET_MAX_TRIS,
                 pack_flatlets,
+            )
+            from halogen_tpu.kernels.raylet import (
+                RAYLET_MAX_TRIS,
+                pack_raylets,
             )
             from halogen_tpu.kernels.treelet_bvh import (
                 TREELET_MAX_TRIS,
@@ -187,6 +192,9 @@ class Scene:
             # treelet covers) never read them, so gate on size.
             if 128 < tv_world_cat.shape[0] <= FLATLET_MAX_TRIS:
                 fbvh = pack_flatlets(tv_world_cat, max_leaf=max_leaf)
+                if tv_world_cat.shape[0] <= RAYLET_MAX_TRIS:
+                    # raylet shares the flatlet cut (one BVH build)
+                    rbvh = pack_raylets(tv_world_cat, fbvh=fbvh)
 
         from halogen_tpu.scene.lights import build_light_table
 
@@ -238,6 +246,7 @@ class Scene:
             wbvh=wbvh,
             tbvh=tbvh,
             fbvh=fbvh,
+            rbvh=rbvh,
             # Static: any material that can refract (transmission alpha < 1)?
             # False lets the integrator skip the nested-dielectric stack
             # machinery — it is provably a no-op in fully opaque scenes.

@@ -193,6 +193,30 @@ def main():
         })
 
     # ------------------------------------------------------------------
+    # 2b''. Raylet per-ray worklist traversal parity ON TPU (round-4) —
+    #       includes the one-hot MXU gather bit-exactness on hardware.
+    # ------------------------------------------------------------------
+    if want("parity_raylet_traversal"):
+        scene = meshes.dragons_hero_scene(2, tris=5120).build(
+            envmap=Envmap.gradient_sky())
+        dcam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                              fov_deg=45)
+        st = ht.RenderSettings(width=64, height=64, samples_per_pixel=2,
+                               max_bounces=3, use_envmap=True,
+                               ray_chunk_size=4096, fused=Fused.OFF)
+        a = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            intersector=Intersector.BRUTE), 1))
+        b = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            intersector=Intersector.RAYLET), 1))
+        mad = float(np.abs(a - b).max())
+        _record(args.out, {
+            "key": "parity_raylet_traversal", "backend": backend,
+            "device": dev, "tris": scene.num_triangles,
+            "max_abs_diff": mad, "mean": float(a.mean()),
+            "ok": bool(mad < 2e-3 and np.isfinite(b).all()),
+        })
+
+    # ------------------------------------------------------------------
     # 2c. Fused megakernel WITH in-kernel treelet traversal (round-3):
     #     >MAX_TRIS scene through the resident bounce loop.
     # ------------------------------------------------------------------
@@ -290,6 +314,20 @@ def main():
                               max_bounces=8, use_envmap=True,
                               ray_chunk_size=big_chunk,
                               intersector=Intersector.FLATLET), 2),
+        # round-4: raylet per-ray worklist kernel A/B on the ladder-4/5
+        # scenes (candidate for the Intersector.AUTO big-scene default)
+        "perf_glass_dragon_raylet": (
+            lambda: meshes.glass_dragon_scene().build(), dragon_cam,
+            ht.RenderSettings(width=512, height=512, samples_per_pixel=32,
+                              max_bounces=12, ray_chunk_size=big_chunk,
+                              intersector=Intersector.RAYLET), 2),
+        "perf_dragons_hero_raylet": (
+            lambda: meshes.dragons_hero_scene().build(
+                envmap=Envmap.gradient_sky()), dragon_cam,
+            ht.RenderSettings(width=512, height=512, samples_per_pixel=64,
+                              max_bounces=8, use_envmap=True,
+                              ray_chunk_size=big_chunk,
+                              intersector=Intersector.RAYLET), 2),
         # round-3: big scenes through the fused megakernel (in-kernel
         # treelet traversal, whole path loop resident)
         "perf_glass_dragon_fusedtrav": (

@@ -233,3 +233,99 @@ def test_flatlet_matches_bvh_dragons():
     b = np.asarray(ht.render_frame(scene, cam, st.replace(
         intersector=Intersector.FLATLET), 1))
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("granule", [8, 32, 128])
+@pytest.mark.parametrize("inf_seeds", [False, True])
+def test_raylet_kernel_exact_vs_shared_stack(granule, inf_seeds):
+    """Raw kernel contract: raylet per-ray worklist traversal returns
+    the same closest hit (t, tri, u, v, sign) as the shared-stack
+    kernel, for several granule widths, including rays with +inf
+    best-t seeds (worklist-exhaustion termination) and pad lanes
+    (n=512 pads the 1024-ray block with 512 dead rays). Also exercises
+    the one-hot MXU gather's bit-exactness contract (interpret mode
+    here; the on-chip row is parity_raylet_traversal in
+    perf/tpu_evidence.jsonl)."""
+    from halogen_tpu.kernels.bvh_pallas import (
+        pack_world_bvh,
+        traverse_world_bvh_any,
+    )
+    from halogen_tpu.kernels.raylet import pack_raylets, traverse_raylets
+    from halogen_tpu.scene.meshes import dragon_mesh
+    import jax.numpy as jnp
+
+    verts, faces = dragon_mesh(2)
+    tv = verts[faces]
+    rb = pack_raylets(np.asarray(tv))
+    assert rb.num_flatlets >= 128
+    wb = pack_world_bvh(np.asarray(tv))
+    o, d, ts = _flatlet_ray_set(inf_seeds=inf_seeds)
+    seed = jnp.asarray(ts)
+    r1 = traverse_world_bvh_any(wb, jnp.asarray(o), jnp.asarray(d), seed,
+                                interpret=True)
+    r2 = traverse_raylets(rb, jnp.asarray(o), jnp.asarray(d), seed,
+                          interpret=True, rays_per_granule=granule)
+    t1, t2 = np.asarray(r1[0]), np.asarray(r2[0])
+    np.testing.assert_array_equal(t1, t2, err_msg="t")
+    hit = np.isfinite(t1)
+    assert hit.mean() > 0.5
+    for a, b, name in zip((r1[1], r1[4]), (r2[1], r2[4]), ("tri", "s")):
+        np.testing.assert_array_equal(np.asarray(a)[hit],
+                                      np.asarray(b)[hit], err_msg=name)
+    for a, b, name in zip(r1[2:4], r2[2:4], ("u", "v")):
+        np.testing.assert_allclose(np.asarray(a)[hit],
+                                   np.asarray(b)[hit],
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+@pytest.mark.slow
+def test_raylet_multi_group_exact():
+    """Raylet parity on a scene whose flatlet table spans multiple
+    128-lane groups (F > 128): the per-ray extraction, one-hot matmul
+    K dimension, and padded-group degenerate tiles all cross the group
+    boundary."""
+    from halogen_tpu.kernels.bvh_pallas import (
+        pack_world_bvh,
+        traverse_world_bvh_any,
+    )
+    from halogen_tpu.kernels.raylet import pack_raylets, traverse_raylets
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    T = 30000
+    centers = rng.uniform(-2, 2, (T, 1, 3))
+    tv = (centers + rng.normal(0, 0.1, (T, 3, 3))).astype(np.float32)
+    rb = pack_raylets(tv)
+    assert rb.num_flatlets > 128  # multi-group
+    wb = pack_world_bvh(tv.copy())
+    o, d, ts = _flatlet_ray_set(n=1024, seed=3)
+    o *= 2.0
+    seed = jnp.asarray(ts)
+    r1 = traverse_world_bvh_any(wb, jnp.asarray(o), jnp.asarray(d), seed,
+                                interpret=True)
+    r2 = traverse_raylets(rb, jnp.asarray(o), jnp.asarray(d), seed,
+                          interpret=True)
+    t1, t2 = np.asarray(r1[0]), np.asarray(r2[0])
+    np.testing.assert_array_equal(t1, t2, err_msg="t")
+    hit = np.isfinite(t1)
+    assert hit.mean() > 0.3
+    np.testing.assert_array_equal(np.asarray(r1[1])[hit],
+                                  np.asarray(r2[1])[hit], err_msg="tri")
+
+
+@pytest.mark.slow
+def test_raylet_matches_bvh_dragons():
+    """Full render parity: RAYLET intersector vs the lockstep BVH
+    intersector on a multi-flatlet scene."""
+    cam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                         fov_deg=45)
+    scene = dragons_hero_scene(2, tris=1280).build(
+        envmap=Envmap.gradient_sky())
+    assert scene.rbvh is not None and scene.rbvh.num_flatlets >= 128
+    st = ST.replace(use_envmap=True)
+    a = np.asarray(ht.render_frame(scene, cam, st.replace(
+        intersector=Intersector.BVH), 1))
+    b = np.asarray(ht.render_frame(scene, cam, st.replace(
+        intersector=Intersector.RAYLET), 1))
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
