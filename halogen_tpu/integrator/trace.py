@@ -766,11 +766,16 @@ def render_pixels(
             break
     groups = spp // spp_block
     nb = n * spp_block
-    pxb = jnp.tile(px, spp_block)
-    pyb = jnp.tile(py, spp_block)
-    seedb = jnp.tile(seed, spp_block)
+    # PIXEL-major fold (all spp lanes of a pixel adjacent): same-pixel
+    # rays see near-identical geometry, so the worklist kernels' row
+    # granules stay balanced and deep-bounce survivors cluster into few
+    # live rows instead of spreading one per row. Per-ray results are
+    # unchanged (the sampler keys on (frame, lane), not slot).
+    pxb = jnp.repeat(px, spp_block)
+    pyb = jnp.repeat(py, spp_block)
+    seedb = jnp.repeat(seed, spp_block)
     farb = jnp.broadcast_to(camera.far, (nb,))
-    lane = jnp.repeat(jnp.arange(spp_block, dtype=jnp.uint32), n)
+    lane = jnp.tile(jnp.arange(spp_block, dtype=jnp.uint32), n)
 
     def spp_body(acc, g):
         lanes = jnp.uint32(spp_offset) + g * jnp.uint32(spp_block) + lane
@@ -790,7 +795,7 @@ def render_pixels(
                 col = _debug_color(out, scene, d, farb, settings)
             else:
                 col = out.color
-        return acc + col.reshape(spp_block, n, 3).sum(axis=0), None
+        return acc + col.reshape(n, spp_block, 3).sum(axis=1), None
 
     acc, _ = jax.lax.scan(
         spp_body,
@@ -798,6 +803,36 @@ def render_pixels(
         jnp.arange(groups, dtype=jnp.uint32),
     )
     return acc / spp
+
+
+@functools.lru_cache(maxsize=None)
+def _morton_pixel_order(w: int, h: int):
+    """Static Z-order (Morton) permutation of the pixel grid.
+
+    Rays are dispatched to kernel blocks in `pix` order, so this makes
+    every 128-lane row / 4096-ray block a spatially compact tile instead
+    of a scanline strip — the free coherence the raylet worklist tiers
+    rely on (granule round count = max per-ray candidates over the
+    granule, which stays near the per-ray mean only when granule rays
+    see similar geometry). Pure host-side numpy; the only runtime cost
+    is one gather at frame end to undo the permutation. Per-pixel
+    results are unchanged (each ray's math is independent of block
+    membership), so images are bit-identical to scanline order.
+    """
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << 2)) & np.uint64(0x3333333333333333)
+        x = (x | (x << 1)) & np.uint64(0x5555555555555555)
+        return x
+
+    code = spread(gx) | (spread(gy) << np.uint64(1))
+    perm = np.argsort(code.reshape(-1), kind="stable").astype(np.int32)
+    inv = np.argsort(perm, kind="stable").astype(np.int32)
+    return perm, inv
 
 
 @partial(jax.jit, static_argnames=("settings",))
@@ -822,7 +857,11 @@ def render_frame(
     chunk = min(settings.ray_chunk_size, n_pixels)
     n_chunks = -(-n_pixels // chunk)
     padded = n_chunks * chunk
-    pix = jnp.arange(padded, dtype=jnp.int32)
+    perm, inv = _morton_pixel_order(w, h)
+    pix = jnp.concatenate([
+        jnp.asarray(perm),
+        jnp.arange(n_pixels, padded, dtype=jnp.int32),
+    ]) if padded > n_pixels else jnp.asarray(perm)
 
     def render_chunk(c, _):
         cpix = jax.lax.dynamic_slice_in_dim(pix, c * chunk, chunk)
@@ -831,5 +870,5 @@ def render_frame(
     _, chunks = jax.lax.scan(
         render_chunk, jnp.int32(0), None, length=n_chunks
     )
-    img = chunks.reshape(-1, 3)[:n_pixels]
+    img = chunks.reshape(-1, 3)[:n_pixels][jnp.asarray(inv)]
     return img.reshape(h, w, 3)

@@ -516,15 +516,213 @@ def _make_traversal(treelet_k: int):
     return tri_intersect
 
 
+def _make_raylet_traversal(raylet_f: int):
+    """In-kernel per-ray worklist traversal (kernels/raylet.py design)
+    for the fused bounce loop, in row granules: each 128-lane sublane
+    row of the ray block runs its own nearest-first worklist rounds —
+    every ray pops the argmin flatlet of its OWN emin column, and the
+    popped tiles (triangle geometry AND shading payload, one fused
+    [2560, F] table) are fetched with one transposed one-hot matmul
+    `tabT @ onehotT[F, 128]` into VMEM scratch — bit-exact at
+    Precision.HIGHEST (see kernels/raylet.py). Cost scales with per-ray
+    candidate counts (~2.5 on glass_dragon, scripts/traversal_diag.py),
+    not block unions (~100) — the measured failure mode of the
+    in-kernel treelet tier (perf_glass_dragon_fusedtrav 0.33 Mrays/s).
+
+    Reference: the HLSL megakernel traverses inside the shading kernel
+    (HalgoenCompute.compute:876-950 -> :378-472); this is that design
+    with the traversal reformulated as dense worklist rounds."""
+    F = raylet_f
+    i32 = jnp.int32
+    f32 = jnp.float32
+    BIGF = np.float32(3e38)
+
+    def tri_intersect(boxesT_ref, tabT_ref, o, d, inv_d, seed, scratch,
+                      rays_scratch):
+        S = o[0].shape[0]
+        iota_fl = jax.lax.broadcasted_iota(i32, (F, LANES), 0)
+        iota_s8 = jax.lax.broadcasted_iota(i32, (8, LANES), 0)
+        sub_S = jax.lax.broadcasted_iota(i32, (S, LANES), 0)
+
+        # Stage the per-ray fields in VMEM so each row granule can take
+        # a free dynamic sublane slice (Mosaic has no dynamic_slice on
+        # values, only on refs).
+        for j, v in enumerate((*o, *d, *inv_d, seed)):
+            rays_scratch[j] = v
+
+        def row(r, acc):
+            def rs(j):
+                # (1, 128) dynamic sublane row — free relayout
+                return rays_scratch[j, pl.ds(r, 1), :]
+
+            ox, oy, oz = rs(0), rs(1), rs(2)
+            dx, dy, dz = rs(3), rs(4), rs(5)
+            ix, iy, iz = rs(6), rs(7), rs(8)
+            rseed = rs(9)
+
+            def live_row(_):
+                # ---- dense box pass: (F boxes, 128 rays) in one shot
+                # (slab test, compute:244-259; boxes on sublanes)
+                def bx(c):
+                    return boxesT_ref[c]  # (F, 1)
+
+                t1x, t2x = (bx(0) - ox) * ix, (bx(3) - ox) * ix
+                t1y, t2y = (bx(1) - oy) * iy, (bx(4) - oy) * iy
+                t1z, t2z = (bx(2) - oz) * iz, (bx(5) - oz) * iz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x),
+                                jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x),
+                                jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z))
+                ent = jnp.maximum(tmin, 0.0)
+                hit = (tmax > jnp.maximum(0.0, tmin)) & (ent < rseed)
+                emin = jnp.where(hit, ent, BIGF)  # (F, 128)
+
+                # ---- per-ray nearest-first rounds with per-(slot
+                # sublane, ray) running winner payload (brute-tier
+                # style: normal interpolated inline), reduced once
+                # after the loop.
+                z8 = jnp.zeros((8, LANES), f32)
+                carry0 = (
+                    emin,
+                    jnp.broadcast_to(rseed, (8, LANES)),  # pt8 best t
+                    z8,                                   # nx
+                    z8,                                   # ny
+                    z8,                                   # nz
+                    z8 + 1.0,                             # sign
+                    z8 - 1.0,                             # material
+                    rseed,                                # btr (1,128)
+                )
+
+                def w_cond(c):
+                    m = jnp.min(c[0], axis=0, keepdims=True)
+                    return jnp.any((m < BIGF) & (m < c[7]))
+
+                def w_body(c):
+                    emin, pt8, pnx, pny, pnz, ps8, pm8, btr = c
+                    colmin = jnp.min(emin, axis=0, keepdims=True)
+                    pop = jnp.min(
+                        jnp.where(emin <= colmin, iota_fl, F + 1),
+                        axis=0, keepdims=True)  # (1,128)
+                    live = (colmin < BIGF) & (colmin < btr)
+                    ohT = ((iota_fl == pop) & live).astype(f32)
+                    scratch[:] = jax.lax.dot_general(
+                        tabT_ref[:], ohT, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    for ci in range(LANES // 8):
+                        def cc(j):
+                            base = j * LANES + ci * 8
+                            return scratch[base:base + 8, :]
+
+                        v0x, v0y, v0z = cc(0), cc(1), cc(2)
+                        e1x, e1y, e1z = cc(3), cc(4), cc(5)
+                        e2x, e2y, e2z = cc(6), cc(7), cc(8)
+                        # Moller-Trumbore (compute:307-355): 8 triangle
+                        # slots on sublanes x 128 rays on lanes
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = px * e1x + py * e1y + pz * e1z
+                        parallel = jnp.abs(det) < _DET_EPS
+                        inv_det = 1.0 / jnp.where(parallel,
+                                                  np.float32(1.0), det)
+                        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                        uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+                        qx = tvy * e1z - tvz * e1y
+                        qy = tvz * e1x - tvx * e1z
+                        qz = tvx * e1y - tvy * e1x
+                        vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                        th = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        valid = (
+                            (~parallel) & (uu >= 0.0) & (uu <= 1.0)
+                            & (vv >= 0.0) & (uu + vv <= 1.0)
+                            & (th > 0.0) & (th < pt8)
+                        )
+                        # shading payload rows (fields 10..19):
+                        # n0 | n1-n0 | n2-n0 | material id
+                        nx = cc(10) + cc(13) * uu + cc(16) * vv
+                        ny = cc(11) + cc(14) * uu + cc(17) * vv
+                        nz = cc(12) + cc(15) * uu + cc(18) * vv
+                        pt8 = jnp.where(valid, th, pt8)
+                        pnx = jnp.where(valid, nx, pnx)
+                        pny = jnp.where(valid, ny, pny)
+                        pnz = jnp.where(valid, nz, pnz)
+                        ps8 = jnp.where(
+                            valid, jnp.where(det >= 0.0, 1.0, -1.0), ps8)
+                        pm8 = jnp.where(valid, cc(19), pm8)
+                    btr = jnp.minimum(
+                        btr, jnp.min(pt8, axis=0, keepdims=True))
+                    emin = jnp.where(iota_fl == pop, BIGF, emin)
+                    return (emin, pt8, pnx, pny, pnz, ps8, pm8, btr)
+
+                (_, pt8, pnx, pny, pnz, ps8, pm8, _) = jax.lax.while_loop(
+                    w_cond, w_body, carry0)
+
+                # ---- winner reduction across the 8 slot sublanes
+                # (first slot achieving the min t wins, matching the
+                # sequential first-min rule: the slot order IS the
+                # in-flatlet triangle order, and flatlets are popped
+                # nearest-first so a cross-flatlet tie resolves to the
+                # earlier pop exactly like the sequential `t < best`)
+                t_row = jnp.min(pt8, axis=0, keepdims=True)  # (1,128)
+                ws8 = jnp.min(
+                    jnp.where(pt8 <= t_row, iota_s8, 8),
+                    axis=0, keepdims=True)
+                wsel = iota_s8 == ws8
+
+                def pick(a):
+                    return jnp.sum(jnp.where(wsel, a, 0.0), axis=0,
+                                   keepdims=True)
+
+                wm = pick(pm8)
+                miss = wm < 0.0
+                return (jnp.where(miss, _INF, t_row), pick(ps8),
+                        pick(pnx), pick(pny), pick(pnz),
+                        jnp.maximum(wm, 0.0))
+
+            def dead_row(_):
+                one = jnp.ones((1, LANES), f32)
+                return (one * _INF, one, one * 0.0, one * 0.0,
+                        one * 0.0, one * 0.0)
+
+            t_row, s_row, nx_row, ny_row, nz_row, m_row = jax.lax.cond(
+                jnp.any(rseed > 0.0), live_row, dead_row, 0)
+
+            tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = acc
+            sel = sub_S == r
+            return (jnp.where(sel, t_row, tr_t),
+                    jnp.where(sel, s_row, tr_s),
+                    jnp.where(sel, nx_row, tr_nx),
+                    jnp.where(sel, ny_row, tr_ny),
+                    jnp.where(sel, nz_row, tr_nz),
+                    jnp.where(sel, m_row, tr_mat))
+
+        shape = o[0].shape
+        acc0 = (jnp.full(shape, _INF), jnp.ones(shape, f32),
+                jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+                jnp.zeros(shape, f32), jnp.zeros(shape, f32))
+        return jax.lax.fori_loop(0, S, row, acc0)
+
+    return tri_intersect
+
+
 def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                  num_materials: int, any_transmissive: bool,
                  stack_depth: int = STACK_DEPTH,
-                 treelet_k: int | None = None):
+                 treelet_k: int | None = None,
+                 raylet_f: int | None = None):
     """Build the fused path-trace kernel body for static scene sizes.
 
-    treelet_k=None compiles the brute-force unrolled triangle loop
-    (<=MAX_TRIS scenes, tables in SMEM); treelet_k=K compiles the
-    in-kernel skip-link traversal over K VMEM-resident treelets."""
+    treelet_k=None/raylet_f=None compiles the brute-force unrolled
+    triangle loop (<=MAX_TRIS scenes, tables in SMEM); treelet_k=K the
+    in-kernel skip-link traversal over K VMEM-resident treelets;
+    raylet_f=F the in-kernel per-ray worklist traversal over F
+    VMEM-resident flatlet tiles (the big-scene default — see
+    _make_raylet_traversal)."""
     sobol = settings.sampler == SamplerKind.SOBOL
     max_bounces = settings.max_bounces
     lim_d = settings.max_diffuse_bounces
@@ -540,11 +738,22 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
     def s1(index, dim, seed):
         return (_sobol_1d if sobol else _prng_1d_impl)(index, dim, seed)
 
-    traverse = (_make_traversal(treelet_k) if treelet_k is not None
-                else None)
+    if raylet_f is not None:
+        traverse = _make_raylet_traversal(raylet_f)
+    elif treelet_k is not None:
+        traverse = _make_traversal(treelet_k)
+    else:
+        traverse = None
 
     def kernel(*refs):
-        if treelet_k is None:
+        scratch_ref = rays_scratch_ref = None
+        if raylet_f is not None:
+            scratch_ref, rays_scratch_ref = refs[-2:]
+            refs = refs[:-2]
+            (far_ref, boxesT_ref, tabT_ref, sph_ref, mat_ref,
+             *rest) = refs
+            tri_ref = trin_ref = nodes_ref = tris_ref = shade_ref = None
+        elif treelet_k is None:
             (far_ref, tri_ref, trin_ref, sph_ref, mat_ref, *rest) = refs
             nodes_ref = tris_ref = shade_ref = None
         else:
@@ -668,23 +877,29 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                 sp_cz = jnp.where(better, cz, sp_cz)
                 sp_mat = jnp.where(better, m, sp_mat)
 
-            if treelet_k is not None:
-                # --- triangles via the in-kernel treelet walk; best-t is
-                # seeded with min(far, sphere hit - HIT_EPS) so the walk
-                # prunes sphere-occluded space, and with -1 on dead lanes
-                # so they fail the root test and idle out in one step.
+            if traverse is not None:
+                # --- triangles via the in-kernel traversal tier; best-t
+                # is seeded with min(far, sphere hit - HIT_EPS) so the
+                # walk prunes sphere-occluded space, and with -1 on dead
+                # lanes so they idle out immediately.
                 seed_t = jnp.minimum(
                     far, jnp.where(sp_t < _INF, sp_t - _HIT_EPS, _INF))
                 seed_t = jnp.where(active, seed_t, np.float32(-1.0))
-                tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = traverse(
-                    nodes_ref, tris_ref, shade_ref, o, d, inv_d, seed_t)
+                if raylet_f is not None:
+                    tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = traverse(
+                        boxesT_ref, tabT_ref, o, d, inv_d, seed_t,
+                        scratch_ref, rays_scratch_ref)
+                else:
+                    tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = traverse(
+                        nodes_ref, tris_ref, shade_ref, o, d, inv_d,
+                        seed_t)
                 num_brute_tris = 0
             else:
                 num_brute_tris = num_tris
             # --- triangles: unrolled Möller-Trumbore with inline winner
             # payload tracking (triangle_intersection_doublesided,
             # compute:307-355; winner normal interp compute:462-467)
-            if treelet_k is None:
+            if traverse is None:
                 tr_t = jnp.full(shape, _INF)
                 tr_s = jnp.zeros(shape, f32)
                 tr_nx = jnp.zeros(shape, f32)
@@ -987,6 +1202,15 @@ def _fused_treelet_k(scene: SceneData) -> int | None:
     return int(tb.num_treelets)
 
 
+def _fused_raylet_f(scene: SceneData) -> int | None:
+    """Flatlet count if the scene is eligible for the in-kernel raylet
+    worklist tier (needs the transposed fused tables), else None."""
+    rb = scene.rbvh
+    if rb is None or getattr(rb, "tabT", None) is None:
+        return None
+    return int(rb.num_flatlets)
+
+
 def fused_supported(scene: SceneData, settings: RenderSettings) -> bool:
     """Static eligibility for the fused megakernel path.
 
@@ -1004,6 +1228,7 @@ def fused_supported(scene: SceneData, settings: RenderSettings) -> bool:
     light_nee = (settings.light_importance_sampling
                  and scene.lights is not None)
     tris_ok = (scene.num_triangles <= MAX_TRIS
+               or _fused_raylet_f(scene) is not None
                or _fused_treelet_k(scene) is not None)
     return (
         settings.debug_mode == DebugMode.NONE
@@ -1081,10 +1306,11 @@ def trace_color_fused(
     `trace_color_fused_diff` for the differentiable wrapper."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if (scene.num_triangles > MAX_TRIS
-            and _fused_treelet_k(scene) is not None):
-        # traversal tier: ray blocks must match the treelet tiles'
-        # sublane broadcast (kernels/treelet_bvh.RAY_SUB)
+    big = scene.num_triangles > MAX_TRIS
+    raylet_f = _fused_raylet_f(scene) if big else None
+    if big and raylet_f is None and _fused_treelet_k(scene) is not None:
+        # treelet traversal tier: ray blocks must match the treelet
+        # tiles' sublane broadcast (kernels/treelet_bvh.RAY_SUB)
         from halogen_tpu.kernels.treelet_bvh import RAY_SUB
         sublanes = RAY_SUB
     n = origin.shape[0]
@@ -1123,10 +1349,10 @@ def trace_color_fused(
     sidx = prep_u32(sample_idx)
     sd = prep_u32(seed)
 
-    treelet_k = (None if scene.num_triangles <= MAX_TRIS
+    treelet_k = (None if (not big or raylet_f is not None)
                  else _fused_treelet_k(scene))
     tri_tab, trin_tab, sph_tab, mat_tab = _scene_tables(
-        scene, skip_tris=treelet_k is not None)
+        scene, skip_tris=treelet_k is not None or raylet_f is not None)
     far_arr = jnp.reshape(jnp.asarray(far, jnp.float32)[..., None][..., None],
                           (1, 1)) if jnp.ndim(far) == 0 else jnp.reshape(
         jnp.asarray(far, jnp.float32).reshape(-1)[0], (1, 1))
@@ -1134,7 +1360,7 @@ def trace_color_fused(
     kernel = _make_kernel(
         settings, scene.num_triangles, scene.num_spheres,
         scene.materials.count, scene.any_transmissive,
-        stack_depth=stack_depth, treelet_k=treelet_k,
+        stack_depth=stack_depth, treelet_k=treelet_k, raylet_f=raylet_f,
     )
 
     rows = npad // LANES
@@ -1144,7 +1370,21 @@ def trace_color_fused(
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.SMEM)
 
-    if treelet_k is None:
+    vmem_full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    scratch_shapes = []
+    if raylet_f is not None:
+        rb = scene.rbvh
+        # Full raylet tables resident in VMEM across the whole grid
+        # (constant index_map -> fetched once, not per ray block), plus
+        # the per-block matmul scratch tile.
+        scene_inputs = [rb.boxesT, rb.tabT]
+        scene_specs = [vmem_full(rb.boxesT), vmem_full(rb.tabT)]
+        scratch_shapes = [pltpu.VMEM((2560, LANES), jnp.float32),
+                          pltpu.VMEM((10, sublanes, LANES), jnp.float32)]
+        params = dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024))
+    elif treelet_k is None:
         scene_inputs = [tri_tab, trin_tab]
         scene_specs = [smem(tri_tab), smem(trin_tab)]
         params = {}
@@ -1152,8 +1392,6 @@ def trace_color_fused(
         tb = scene.tbvh
         # Full treelet tables resident in VMEM across the whole grid
         # (constant index_map -> fetched once, not per ray block).
-        vmem_full = lambda a: pl.BlockSpec(
-            a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
         scene_inputs = [tb.nodes, tb.tris, tb.shade]
         scene_specs = [vmem_full(tb.nodes), vmem_full(tb.tris),
                        vmem_full(tb.shade)]
@@ -1171,6 +1409,7 @@ def trace_color_fused(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
             for _ in range(10)
         ),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         **params,
     )(far_arr, *scene_inputs, sph_tab, mat_tab,

@@ -87,7 +87,16 @@ class RayletBVH:
 
     boxes: jnp.ndarray
     tris_flat: jnp.ndarray
-    leaf_tris: int = dataclasses.field(metadata=dict(static=True))
+    # Transposed tables for the fused megakernel's in-kernel row-granule
+    # traversal tier (kernels/megakernel._make_raylet_traversal), or None:
+    # boxesT [6, F, 1] (boxes on sublanes), tabT [1280, F] (matmul LHS),
+    # shadeT [1280, F] (winner shading payload: rows j*128+k = field j of
+    # slot k, fields n0.xyz | n1-n0 | n2-n0 | material id).
+    boxesT: jnp.ndarray | None = None
+    tabT: jnp.ndarray | None = None
+    shadeT: jnp.ndarray | None = None
+    leaf_tris: int = dataclasses.field(
+        default=RAY_LANE, metadata=dict(static=True))
 
     @property
     def num_flatlets(self) -> int:
@@ -97,10 +106,14 @@ class RayletBVH:
 def pack_raylets(tri_verts_world: np.ndarray, max_leaf: int = 5,
                  max_depth: int = 32,
                  tri_ids: np.ndarray | None = None,
-                 fbvh: FlatletBVH | None = None) -> RayletBVH:
+                 fbvh: FlatletBVH | None = None,
+                 tri_normals_world: np.ndarray | None = None,
+                 tri_materials: np.ndarray | None = None) -> RayletBVH:
     """Build the raylet tables (host side). Reuses the flatlet packing
     (greedy top-down SAH-subtree cut at <=128 tris) and re-lays it out
-    for the one-hot matmul."""
+    for the one-hot matmul. When `tri_normals_world`/`tri_materials`
+    are given, also packs the transposed fused-tier tables (boxesT,
+    tabT, shadeT) consumed by the megakernel's in-kernel traversal."""
     if fbvh is None:
         fbvh = pack_flatlets(tri_verts_world, leaf_tris=RAY_LANE,
                              max_leaf=max_leaf, max_depth=max_depth,
@@ -112,9 +125,36 @@ def pack_raylets(tri_verts_world: np.ndarray, max_leaf: int = 5,
     # fbvh.tris: [F, 10, 128] -> [F, 1280] row-major (component-major
     # columns, matching the kernel's static 128-lane slices)
     t = np.asarray(fbvh.tris)
-    tris_flat = t.reshape(t.shape[0], -1)
+    F = t.shape[0]
+    tris_flat = t.reshape(F, -1)
+
+    boxesT = tabT = shadeT = None
+    if tri_normals_world is not None and tri_materials is not None:
+        boxesT = boxes.reshape(6, -1)[:, :, None]  # [6, F, 1]
+        # shading payload per (flatlet, slot): n0 | n1-n0 | n2-n0 | mat,
+        # gathered by the slot's global triangle id. Pad slots (gid row
+        # carries 0) get tri 0's payload — harmless, they can never win
+        # (degenerate pad triangles have det 0).
+        tn = np.asarray(tri_normals_world, np.float32)
+        tm = np.asarray(tri_materials, np.float32).reshape(-1)
+        gid = t[:, 9, :].astype(np.int64)  # [F, 128]
+        n0 = tn[gid, 0]  # [F, 128, 3]
+        d1 = tn[gid, 1] - n0
+        d2 = tn[gid, 2] - n0
+        fields = np.concatenate(
+            [n0.transpose(0, 2, 1), d1.transpose(0, 2, 1),
+             d2.transpose(0, 2, 1), tm[gid][:, None, :]],
+            axis=1)  # [F, 10, 128]
+        shadeT = np.ascontiguousarray(fields.reshape(F, -1).T)  # [1280,F]
+        # Fused-tier table: geometry fields 0..9 then shading fields
+        # 10..19, one [2560, F] matmul RHS per pop.
+        tabT = np.ascontiguousarray(
+            np.concatenate([tris_flat.T, shadeT], axis=0))  # [2560, F]
+        boxesT = jnp.asarray(boxesT)
+        tabT = jnp.asarray(tabT)
+        shadeT = jnp.asarray(shadeT)
     return RayletBVH(jnp.asarray(boxes), jnp.asarray(tris_flat),
-                     RAY_LANE)
+                     boxesT, tabT, shadeT, RAY_LANE)
 
 
 def _raylet_kernel(F: int, R: int):

@@ -194,7 +194,11 @@ class Scene:
                 fbvh = pack_flatlets(tv_world_cat, max_leaf=max_leaf)
                 if tv_world_cat.shape[0] <= RAYLET_MAX_TRIS:
                     # raylet shares the flatlet cut (one BVH build)
-                    rbvh = pack_raylets(tv_world_cat, fbvh=fbvh)
+                    rbvh = pack_raylets(
+                        tv_world_cat, fbvh=fbvh,
+                        tri_normals_world=cat(tn_world, (0, 3, 3)),
+                        tri_materials=cat(tri_mat, (0,), np.int32).astype(
+                            np.float32))
 
         from halogen_tpu.scene.lights import build_light_table
 
