@@ -537,11 +537,12 @@ def _make_raylet_traversal(raylet_f: int):
     f32 = jnp.float32
     BIGF = np.float32(3e38)
 
-    def tri_intersect(boxesT_ref, tabT_ref, o, d, inv_d, seed, scratch,
-                      rays_scratch):
+    def tri_intersect(boxesT_ref, tabT_ref, shadeT_ref, o, d, inv_d,
+                      seed, scratch, rays_scratch):
         S = o[0].shape[0]
         iota_fl = jax.lax.broadcasted_iota(i32, (F, LANES), 0)
         iota_s8 = jax.lax.broadcasted_iota(i32, (8, LANES), 0)
+        iota_sl128 = jax.lax.broadcasted_iota(i32, (LANES, LANES), 0)
         sub_S = jax.lax.broadcasted_iota(i32, (S, LANES), 0)
 
         # Stage the per-ray fields in VMEM so each row granule can take
@@ -582,18 +583,18 @@ def _make_raylet_traversal(raylet_f: int):
                 emin = jnp.where(hit, ent, BIGF)  # (F, 128)
 
                 # ---- per-ray nearest-first rounds with per-(slot
-                # sublane, ray) running winner payload (brute-tier
-                # style: normal interpolated inline), reduced once
-                # after the loop.
+                # sublane, ray) running winner payload, reduced once
+                # after the loop. Geometry-only matmul per round; the
+                # winner's shading payload is fetched once at the end.
                 z8 = jnp.zeros((8, LANES), f32)
                 carry0 = (
                     emin,
                     jnp.broadcast_to(rseed, (8, LANES)),  # pt8 best t
-                    z8,                                   # nx
-                    z8,                                   # ny
-                    z8,                                   # nz
+                    z8,                                   # u
+                    z8,                                   # v
                     z8 + 1.0,                             # sign
-                    z8 - 1.0,                             # material
+                    z8,                                   # slot
+                    z8 - 1.0,                             # flatlet id
                     rseed,                                # btr (1,128)
                 )
 
@@ -602,17 +603,22 @@ def _make_raylet_traversal(raylet_f: int):
                     return jnp.any((m < BIGF) & (m < c[7]))
 
                 def w_body(c):
-                    emin, pt8, pnx, pny, pnz, ps8, pm8, btr = c
+                    emin, pt8, pu8, pv8, ps8, pl8, pf8, btr = c
                     colmin = jnp.min(emin, axis=0, keepdims=True)
                     pop = jnp.min(
                         jnp.where(emin <= colmin, iota_fl, F + 1),
                         axis=0, keepdims=True)  # (1,128)
                     live = (colmin < BIGF) & (colmin < btr)
-                    ohT = ((iota_fl == pop) & live).astype(f32)
-                    scratch[:] = jax.lax.dot_general(
+                    # dead columns select no flatlet: fold the mask
+                    # into the popped id so the one-hot stays a pure
+                    # iota equality
+                    pop = jnp.where(live, pop, F + 1)
+                    ohT = (iota_fl == pop).astype(f32)
+                    scratch[0:9 * LANES] = jax.lax.dot_general(
                         tabT_ref[:], ohT, (((1,), (0,)), ((), ())),
                         preferred_element_type=f32,
                         precision=jax.lax.Precision.HIGHEST)
+                    popf = pop.astype(f32)
                     for ci in range(LANES // 8):
                         def cc(j):
                             base = j * LANES + ci * 8
@@ -642,32 +648,27 @@ def _make_raylet_traversal(raylet_f: int):
                             & (vv >= 0.0) & (uu + vv <= 1.0)
                             & (th > 0.0) & (th < pt8)
                         )
-                        # shading payload rows (fields 10..19):
-                        # n0 | n1-n0 | n2-n0 | material id
-                        nx = cc(10) + cc(13) * uu + cc(16) * vv
-                        ny = cc(11) + cc(14) * uu + cc(17) * vv
-                        nz = cc(12) + cc(15) * uu + cc(18) * vv
                         pt8 = jnp.where(valid, th, pt8)
-                        pnx = jnp.where(valid, nx, pnx)
-                        pny = jnp.where(valid, ny, pny)
-                        pnz = jnp.where(valid, nz, pnz)
+                        pu8 = jnp.where(valid, uu, pu8)
+                        pv8 = jnp.where(valid, vv, pv8)
                         ps8 = jnp.where(
                             valid, jnp.where(det >= 0.0, 1.0, -1.0), ps8)
-                        pm8 = jnp.where(valid, cc(19), pm8)
+                        pl8 = jnp.where(
+                            valid, (iota_s8 + ci * 8).astype(f32), pl8)
+                        pf8 = jnp.where(valid, popf, pf8)
                     btr = jnp.minimum(
                         btr, jnp.min(pt8, axis=0, keepdims=True))
                     emin = jnp.where(iota_fl == pop, BIGF, emin)
-                    return (emin, pt8, pnx, pny, pnz, ps8, pm8, btr)
+                    return (emin, pt8, pu8, pv8, ps8, pl8, pf8, btr)
 
-                (_, pt8, pnx, pny, pnz, ps8, pm8, _) = jax.lax.while_loop(
+                (_, pt8, pu8, pv8, ps8, pl8, pf8, _) = jax.lax.while_loop(
                     w_cond, w_body, carry0)
 
                 # ---- winner reduction across the 8 slot sublanes
-                # (first slot achieving the min t wins, matching the
-                # sequential first-min rule: the slot order IS the
-                # in-flatlet triangle order, and flatlets are popped
-                # nearest-first so a cross-flatlet tie resolves to the
-                # earlier pop exactly like the sequential `t < best`)
+                # (first slot achieving the min t wins; within a
+                # flatlet the slot order is the triangle order, and
+                # flatlets are popped nearest-first, matching the
+                # sequential first-min rule)
                 t_row = jnp.min(pt8, axis=0, keepdims=True)  # (1,128)
                 ws8 = jnp.min(
                     jnp.where(pt8 <= t_row, iota_s8, 8),
@@ -678,11 +679,33 @@ def _make_raylet_traversal(raylet_f: int):
                     return jnp.sum(jnp.where(wsel, a, 0.0), axis=0,
                                    keepdims=True)
 
-                wm = pick(pm8)
-                miss = wm < 0.0
-                return (jnp.where(miss, _INF, t_row), pick(ps8),
-                        pick(pnx), pick(pny), pick(pnz),
-                        jnp.maximum(wm, 0.0))
+                wu, wv, wsn = pick(pu8), pick(pv8), pick(ps8)
+                wslot, wf = pick(pl8), pick(pf8)
+                miss = wf < 0.0
+
+                # ---- winner shade fetch: one matmul for the winner
+                # flatlet's shade tile, then a slot select across its
+                # 128 sublane rows (fields n0 | n1-n0 | n2-n0 | mat).
+                ohw = (iota_fl == jnp.where(
+                    miss, F + 1, wslot * 0.0 + wf).astype(i32)
+                ).astype(f32)
+                scratch[:] = jax.lax.dot_general(
+                    shadeT_ref[:], ohw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+                ssel = iota_sl128 == wslot.astype(i32)
+
+                def slot_val(j):
+                    blk = scratch[j * LANES:(j + 1) * LANES, :]
+                    return jnp.sum(jnp.where(ssel, blk, 0.0), axis=0,
+                                   keepdims=True)
+
+                nx = slot_val(0) + slot_val(3) * wu + slot_val(6) * wv
+                ny = slot_val(1) + slot_val(4) * wu + slot_val(7) * wv
+                nz = slot_val(2) + slot_val(5) * wu + slot_val(8) * wv
+                wm = slot_val(9)
+                return (jnp.where(miss, _INF, t_row), wsn,
+                        nx, ny, nz, jnp.where(miss, 0.0, wm))
 
             def dead_row(_):
                 one = jnp.ones((1, LANES), f32)
@@ -750,7 +773,7 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
         if raylet_f is not None:
             scratch_ref, rays_scratch_ref = refs[-2:]
             refs = refs[:-2]
-            (far_ref, boxesT_ref, tabT_ref, sph_ref, mat_ref,
+            (far_ref, boxesT_ref, tabT_ref, shadeT_ref, sph_ref, mat_ref,
              *rest) = refs
             tri_ref = trin_ref = nodes_ref = tris_ref = shade_ref = None
         elif treelet_k is None:
@@ -887,8 +910,8 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                 seed_t = jnp.where(active, seed_t, np.float32(-1.0))
                 if raylet_f is not None:
                     tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = traverse(
-                        boxesT_ref, tabT_ref, o, d, inv_d, seed_t,
-                        scratch_ref, rays_scratch_ref)
+                        boxesT_ref, tabT_ref, shadeT_ref, o, d, inv_d,
+                        seed_t, scratch_ref, rays_scratch_ref)
                 else:
                     tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = traverse(
                         nodes_ref, tris_ref, shade_ref, o, d, inv_d,
@@ -1378,9 +1401,10 @@ def trace_color_fused(
         # Full raylet tables resident in VMEM across the whole grid
         # (constant index_map -> fetched once, not per ray block), plus
         # the per-block matmul scratch tile.
-        scene_inputs = [rb.boxesT, rb.tabT]
-        scene_specs = [vmem_full(rb.boxesT), vmem_full(rb.tabT)]
-        scratch_shapes = [pltpu.VMEM((2560, LANES), jnp.float32),
+        scene_inputs = [rb.boxesT, rb.tabT, rb.shadeT]
+        scene_specs = [vmem_full(rb.boxesT), vmem_full(rb.tabT),
+                       vmem_full(rb.shadeT)]
+        scratch_shapes = [pltpu.VMEM((1280, LANES), jnp.float32),
                           pltpu.VMEM((10, sublanes, LANES), jnp.float32)]
         params = dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024))

@@ -146,10 +146,10 @@ def pack_raylets(tri_verts_world: np.ndarray, max_leaf: int = 5,
              d2.transpose(0, 2, 1), tm[gid][:, None, :]],
             axis=1)  # [F, 10, 128]
         shadeT = np.ascontiguousarray(fields.reshape(F, -1).T)  # [1280,F]
-        # Fused-tier table: geometry fields 0..9 then shading fields
-        # 10..19, one [2560, F] matmul RHS per pop.
-        tabT = np.ascontiguousarray(
-            np.concatenate([tris_flat.T, shadeT], axis=0))  # [2560, F]
+        # Fused-tier geometry table: v0 | e1 | e2 fields only (9 x 128
+        # rows) — the winner's shading payload is fetched from shadeT
+        # once per row granule, not on every pop round.
+        tabT = np.ascontiguousarray(tris_flat.T[:9 * RAY_LANE])  # [1152,F]
         boxesT = jnp.asarray(boxesT)
         tabT = jnp.asarray(tabT)
         shadeT = jnp.asarray(shadeT)
