@@ -733,11 +733,39 @@ def _make_raylet_traversal(raylet_f: int):
     return tri_intersect
 
 
+def _glossy_pdf_c(wx, wy, wz, mx, my, mz, a1, nx, ny, nz):
+    """Component-tuple port of core.math.procedural_glossy_pdf (the
+    closed-form solid-angle density of the reference's procedural glossy
+    lobe) for the in-kernel NEE/MIS weights."""
+    eps = np.float32(1e-6)
+    b = (1.0 - a1) * (wx * mx + wy * my + wz * mz)
+    c = (1.0 - a1) * (1.0 - a1) - a1 * a1
+    disc = b * b - c
+    exists = (a1 > eps) & (disc >= 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.maximum(a1, eps)
+    total = jnp.zeros_like(b)
+    for t in (b - sq, b + sq):
+        valid = exists & (t > eps)
+        ts = jnp.where(valid, t, np.float32(1.0))
+        ddx = (wx * ts - (1.0 - a_safe) * mx) / a_safe
+        ddy = (wy * ts - (1.0 - a_safe) * my) / a_safe
+        ddz = (wz * ts - (1.0 - a_safe) * mz) / a_safe
+        cos_dd = jnp.maximum(ddx * nx + ddy * ny + ddz * nz, 0.0)
+        dens = (cos_dd * np.float32(1.0 / np.pi) * ts * ts
+                / (a_safe * a_safe
+                   * jnp.maximum(jnp.abs(wx * ddx + wy * ddy + wz * ddz),
+                                 eps)))
+        total = total + jnp.where(valid, dens, 0.0)
+    return total
+
+
 def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                  num_materials: int, any_transmissive: bool,
                  stack_depth: int = STACK_DEPTH,
                  treelet_k: int | None = None,
-                 raylet_f: int | None = None):
+                 raylet_f: int | None = None,
+                 env_nee: bool = False):
     """Build the fused path-trace kernel body for static scene sizes.
 
     treelet_k=None/raylet_f=None compiles the brute-force unrolled
@@ -783,11 +811,22 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
             (far_ref, nodes_ref, tris_ref, shade_ref, sph_ref, mat_ref,
              *rest) = refs
             tri_ref = trin_ref = None
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         sidx_ref, seed_ref,
-         outr_ref, outg_ref, outb_ref,
-         mar_ref, mag_ref, mab_ref, mrough_ref,
-         odx_ref, ody_ref, odz_ref) = rest
+        nee_ref = None
+        if env_nee:
+            nee_ref, *rest = rest
+        mpc_ref = mne_ref = None
+        if env_nee:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             sidx_ref, seed_ref,
+             outr_ref, outg_ref, outb_ref,
+             mar_ref, mag_ref, mab_ref, mrough_ref,
+             odx_ref, ody_ref, odz_ref, mpc_ref, mne_ref) = rest
+        else:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             sidx_ref, seed_ref,
+             outr_ref, outg_ref, outb_ref,
+             mar_ref, mag_ref, mab_ref, mrough_ref,
+             odx_ref, ody_ref, odz_ref) = rest
         far = far_ref[0, 0]
         o = (ox_ref[:], oy_ref[:], oz_ref[:])
         d = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -817,9 +856,11 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
         # Carry holds no bools (Mosaic's scf.for lowering rejects i1
         # vectors in iter_args): `active` travels as int32 0/1.
         def _flat(o, d, atten, color, counts, active, acc_rough, matten,
-                  stack):
+                  stack, nee4=None):
             base = (o, d, tuple(atten), tuple(color), tuple(counts),
                     active.astype(jnp.int32), acc_rough, tuple(matten))
+            if env_nee:
+                base += tuple(nee4)
             if any_transmissive:
                 base += (tuple(stack.ior), tuple(stack.ab),
                          tuple(stack.prio), tuple(stack.mid), stack.size)
@@ -828,13 +869,20 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
         def bounce_body(k, carry):
             (o, d, atten, color, counts, active, acc_rough,
              matten) = carry[:8]
+            ci = 8
+            if env_nee:
+                # MIS continuation state from the PREVIOUS bounce plus
+                # the deferred miss-MIS record (see trace._pool_bounce
+                # prev_nee/prev_pcos and the sky_w weighting)
+                prev_pcos_in, prev_nee_in, m_pcos, m_nee = carry[8:12]
+                ci = 12
             active = active != 0
             atten = list(atten)
             color = list(color)
             counts = list(counts)
             matten = list(matten)
             if any_transmissive:
-                st_ior, st_ab, st_prio, st_mid, st_size = carry[8:]
+                st_ior, st_ab, st_prio, st_mid, st_size = carry[ci:]
                 stack = _Stack(list(st_ior), list(st_ab), list(st_prio),
                                list(st_mid), st_size)
             else:
@@ -1147,6 +1195,121 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                               sc_at[c])
                     for c in range(3))
 
+            if env_nee:
+                # --- environment-map next-event estimation + MIS,
+                # op-for-op with trace._pool_bounce's use_nee block. The
+                # (ldir, lpdf, radiance) draws are PRECOMPUTED outside
+                # the kernel (same stateless sampler stream, dims
+                # DIM_ENV_NEE_BASE + 5k) because the luminance-CDF
+                # inversion and texel fetches are gather-shaped; the
+                # kernel does the shadow ray, the closed-form pdfs and
+                # the balance heuristic — all dense.
+                ldx = nee_ref[0, k]
+                ldy = nee_ref[1, k]
+                ldz = nee_ref[2, k]
+                lpdf = nee_ref[3, k]
+                rad = (nee_ref[4, k], nee_ref[5, k], nee_ref[6, k])
+                ps = spec_prob
+                surf = shade & (alpha >= 1.0)
+                cos_l = normal[0] * ldx + normal[1] * ldy + normal[2] * ldz
+                cand = surf & (cos_l > 0.0) & (lpdf > np.float32(1e-12))
+                shx = pos[0] + normal[0] * np.float32(1e-4)
+                shy = pos[1] + normal[1] * np.float32(1e-4)
+                shz = pos[2] + normal[2] * np.float32(1e-4)
+                tiny = np.float32(1e-30)
+                ilx = 1.0 / jnp.where(jnp.abs(ldx) < tiny, tiny, ldx)
+                ily = 1.0 / jnp.where(jnp.abs(ldy) < tiny, tiny, ldy)
+                ilz = 1.0 / jnp.where(jnp.abs(ldz) < tiny, tiny, ldz)
+                # shadow spheres: closest t with the same AABB pre-test
+                ssp_t = jnp.full(shape, _INF)
+                for s in range(num_spheres):
+                    cx = sph_ref[s, 0]
+                    cy = sph_ref[s, 1]
+                    cz = sph_ref[s, 2]
+                    r = sph_ref[s, 3]
+                    t1x = (cx - r - shx) * ilx
+                    t2x = (cx + r - shx) * ilx
+                    t1y = (cy - r - shy) * ily
+                    t2y = (cy + r - shy) * ily
+                    t1z = (cz - r - shz) * ilz
+                    t2z = (cz + r - shz) * ilz
+                    btmin = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t1x, t2x),
+                                    jnp.minimum(t1y, t2y)),
+                        jnp.minimum(t1z, t2z))
+                    btmax = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t1x, t2x),
+                                    jnp.maximum(t1y, t2y)),
+                        jnp.maximum(t1z, t2z))
+                    aabb_t = jnp.where(btmax > jnp.maximum(0.0, btmin),
+                                       btmin, _INF)
+                    ocx, ocy, ocz = shx - cx, shy - cy, shz - cz
+                    bq = 2.0 * (ocx * ldx + ocy * ldy + ocz * ldz)
+                    cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                    disc = bq * bq - 4.0 * cq
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    t_near = (-bq - sq) * 0.5
+                    t_far = (-bq + sq) * 0.5
+                    t = jnp.where(t_near < 0.0, t_far, t_near)
+                    t = jnp.where(disc >= 0.0, t, _INF)
+                    t = jnp.where((aabb_t < far) & (t > _HIT_EPS), t, _INF)
+                    ssp_t = jnp.minimum(ssp_t, t)
+                # shadow triangles: closest t (brute tier only; see
+                # fused_supported's env_nee gate)
+                str_t = jnp.full(shape, _INF)
+                for ti in range(num_tris if tri_ref is not None else 0):
+                    v0 = (tri_ref[ti, 0], tri_ref[ti, 1], tri_ref[ti, 2])
+                    e1 = (tri_ref[ti, 3], tri_ref[ti, 4], tri_ref[ti, 5])
+                    e2 = (tri_ref[ti, 6], tri_ref[ti, 7], tri_ref[ti, 8])
+                    ld = (ldx, ldy, ldz)
+                    pvec = _cross3(ld, e2)
+                    det = _dot3(pvec, e1)
+                    parallel = jnp.abs(det) < _DET_EPS
+                    inv_det = 1.0 / jnp.where(parallel, np.float32(1.0),
+                                              det)
+                    tvec = (shx - v0[0], shy - v0[1], shz - v0[2])
+                    uu = _dot3(tvec, pvec) * inv_det
+                    qvec = _cross3(tvec, e1)
+                    vv = _dot3(ld, qvec) * inv_det
+                    t = _dot3(e2, qvec) * inv_det
+                    ok = ((~parallel) & (uu >= 0.0) & (uu <= 1.0)
+                          & (vv >= 0.0) & (uu + vv <= 1.0)
+                          & (t > _HIT_EPS) & (t < str_t))
+                    str_t = jnp.where(ok, t, str_t)
+                sh_t = jnp.where(
+                    (str_t < ssp_t - _HIT_EPS) & (str_t < far),
+                    str_t, ssp_t)
+                visible = sh_t >= far
+                p_gl_l = _glossy_pdf_c(ldx, ldy, ldz,
+                                       refl[0], refl[1], refl[2], r2,
+                                       normal[0], normal[1], normal[2])
+                inv_pi = np.float32(1.0 / np.pi)
+                p_mix_l = ((1.0 - ps) * jnp.maximum(cos_l, 0.0) * inv_pi
+                           + ps * p_gl_l)
+                w_fac = (lpdf / (lpdf + p_mix_l)
+                         / jnp.maximum(lpdf, np.float32(1e-12)))
+                dterm = (1.0 - ps) * cos_l * inv_pi
+                gterm = ps * p_gl_l
+                nee_on = cand & visible
+                for c, (alc, spc) in enumerate(
+                        (((al_r, sp_r)), (al_g, sp_g), (al_b, sp_b))):
+                    contrib = (atten[c] * (alc * dterm + spc * gterm)
+                               * rad[c] * w_fac)
+                    color[c] = color[c] + jnp.where(nee_on, contrib, 0.0)
+                # continuation-strategy pdf for the NEXT bounce's MIS
+                cos_nd = (normal[0] * new_dir[0] + normal[1] * new_dir[1]
+                          + normal[2] * new_dir[2])
+                covered = (surf & (cos_nd > 0.0) & (bounce_type != 2)
+                           & ~((bounce_type == 1)
+                               & (r2 <= np.float32(1e-6))))
+                p_gl_n = _glossy_pdf_c(new_dir[0], new_dir[1], new_dir[2],
+                                       refl[0], refl[1], refl[2], r2,
+                                       normal[0], normal[1], normal[2])
+                p_mix_n = ((1.0 - ps) * jnp.maximum(cos_nd, 0.0) * inv_pi
+                           + ps * p_gl_n)
+                prev_pcos_out = jnp.where(covered, p_mix_n, 0.0)
+                prev_nee_out = covered.astype(f32)
+
             o = _where3(shade, new_org, o)
             d = _where3(shade, new_dir, d)
             atten = list(_where3(
@@ -1187,16 +1350,30 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
             miss = active & (~is_hit)
             for c in range(3):
                 matten[c] = jnp.where(miss, atten[c], matten[c])
+            nee4 = None
+            if env_nee:
+                # record the PREVIOUS bounce's continuation state at the
+                # miss (the deferred sky shade MIS-weights against it,
+                # exactly like trace's sky_w block)
+                m_pcos = jnp.where(miss, prev_pcos_in, m_pcos)
+                m_nee = jnp.where(miss, prev_nee_in, m_nee)
+                nee4 = (prev_pcos_out, prev_nee_out, m_pcos, m_nee)
             active = active & is_hit & (~killed)
             return _flat(o, d, atten, color, counts, active, acc_rough,
-                         matten, stack)
+                         matten, stack, nee4)
 
+        nee0 = None
+        if env_nee:
+            nee0 = tuple(jnp.zeros(shape, f32) for _ in range(4))
         carry = jax.lax.fori_loop(
             0, max_bounces + 1, bounce_body,
             _flat(o, d, atten, color, counts, active, acc_rough, matten,
-                  stack),
+                  stack, nee0),
         )
         (o, d, atten, color, counts, active, acc_rough, matten) = carry[:8]
+        if env_nee:
+            mpc_ref[:] = carry[10]
+            mne_ref[:] = carry[11]
 
         outr_ref[:] = color[0]
         outg_ref[:] = color[1]
@@ -1255,7 +1432,10 @@ def fused_supported(scene: SceneData, settings: RenderSettings) -> bool:
                or _fused_treelet_k(scene) is not None)
     return (
         settings.debug_mode == DebugMode.NONE
-        and not env_nee
+        # env NEE runs fused on the brute tier (in-kernel shadow rays
+        # against the unrolled SMEM tables + precomputed CDF draws);
+        # big-scene NEE still falls back to the lockstep scheduler
+        and (not env_nee or scene.num_triangles <= MAX_TRIS)
         and not light_nee
         and tris_ok
         and scene.num_spheres <= MAX_SPHERES
@@ -1380,10 +1560,16 @@ def trace_color_fused(
                           (1, 1)) if jnp.ndim(far) == 0 else jnp.reshape(
         jnp.asarray(far, jnp.float32).reshape(-1)[0], (1, 1))
 
+    env_nee = (settings.use_envmap and settings.env_importance_sampling
+               and scene.env_cdf is not None and bool(scene.env_mips))
+    # in-kernel shadow rays run against the unrolled SMEM triangle
+    # table; fused_supported gates NEE scenes to the brute tier
+    assert not (env_nee and (raylet_f is not None or treelet_k is not None))
     kernel = _make_kernel(
         settings, scene.num_triangles, scene.num_spheres,
         scene.materials.count, scene.any_transmissive,
         stack_depth=stack_depth, treelet_k=treelet_k, raylet_f=raylet_f,
+        env_nee=env_nee,
     )
 
     rows = npad // LANES
@@ -1422,21 +1608,56 @@ def trace_color_fused(
         params = dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024))
 
+    nee_inputs = []
+    nee_specs = []
+    n_outs = 10
+    if env_nee:
+        # Precomputed env-NEE draws per (ray, bounce): the stateless
+        # sampler stream (dims DIM_ENV_NEE_BASE + 5k, SURVEY.md §3.4)
+        # makes these computable outside the kernel; the luminance-CDF
+        # inversion and texel reads are gather-shaped and XLA-batched
+        # here instead of per-bounce inside the kernel.
+        from halogen_tpu.sampler import sobol as sob
+        from halogen_tpu.scene.envmap import (
+            sample_env_direction, sample_env_mip_nearest)
+
+        K = settings.max_bounces + 1
+        s2 = (sob.prng_sample_2d if settings.sampler == SamplerKind.PRNG
+              else sob.ld_sample_2d)
+        dims = (jnp.uint32(sob.DIM_ENV_NEE_BASE)
+                + jnp.uint32(sob.BOUNCE_DIM_STRIDE)
+                * jnp.arange(K, dtype=jnp.uint32))
+        sidx_f = sidx.reshape(-1)
+        seed_f = sd.reshape(-1)
+        nu, nv = s2(sidx_f[None, :], dims[:, None], seed_f[None, :])
+        ldir, lpdf = sample_env_direction(scene.env_cdf, nu, nv)
+        rad = sample_env_mip_nearest(scene.env_mips[0], ldir)
+        nee_tab = jnp.stack(
+            [ldir[..., 0], ldir[..., 1], ldir[..., 2], lpdf,
+             rad[..., 0], rad[..., 1], rad[..., 2]], axis=0,
+        ).reshape(7, K, npad // LANES, LANES)
+        nee_inputs = [nee_tab]
+        nee_specs = [pl.BlockSpec((7, K, sublanes, LANES),
+                                  lambda i: (0, 0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        n_outs = 12
+
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[smem(far_arr), *scene_specs, smem(sph_tab), smem(mat_tab),
+                  *nee_specs,
                   ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                   ray_spec, ray_spec, ray_spec],
-        out_specs=(ray_spec,) * 10,
+        out_specs=(ray_spec,) * n_outs,
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
-            for _ in range(10)
+            for _ in range(n_outs)
         ),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         **params,
-    )(far_arr, *scene_inputs, sph_tab, mat_tab,
+    )(far_arr, *scene_inputs, sph_tab, mat_tab, *nee_inputs,
       ox, oy, oz, dx, dy, dz, sidx, sd)
 
     col = jnp.stack([outs[0].reshape(-1)[:n], outs[1].reshape(-1)[:n],
@@ -1460,7 +1681,21 @@ def trace_color_fused(
                      + m_rough * settings.mip_importance_range)
         else:
             level = jnp.full((n,), settings.env_mip_level, jnp.float32)
-        col = col + sample_env(scene.env_mips, m_dir, level) * matten
+        sky = sample_env(scene.env_mips, m_dir, level) * matten
+        if env_nee:
+            # sky MIS against the recorded continuation pdf (the
+            # deferred analog of trace's sky_w block)
+            from halogen_tpu.scene.envmap import env_pdf
+
+            m_pcos = outs[10].reshape(-1)[:n]
+            m_nee = outs[11].reshape(-1)[:n]
+            pe = env_pdf(scene.env_cdf, m_dir)
+            w = jnp.where(
+                m_nee > 0.5,
+                m_pcos / jnp.maximum(m_pcos + pe, np.float32(1e-12)),
+                jnp.float32(1.0))
+            sky = sky * w[:, None]
+        col = col + sky
     return col
 
 
