@@ -132,8 +132,15 @@ def test_fused_eligibility_gates():
     assert fused_supported(glass, st)  # in-kernel medium stack
     env_scene = cornell.cornell_box().build(envmap=Envmap.gradient_sky())
     assert fused_supported(env_scene, st.replace(use_envmap=True))
-    # envmap NEE needs per-bounce shadow rays -> lockstep only
-    assert not fused_supported(env_scene, st.replace(
+    # envmap NEE runs fused on the brute tier (in-kernel shadow rays);
+    # big-scene NEE still falls back to the lockstep scheduler
+    assert fused_supported(env_scene, st.replace(
+        use_envmap=True, env_importance_sampling=True))
+    from halogen_tpu.scene.meshes import dragons_hero_scene
+    big = dragons_hero_scene(1, tris=1280).build(
+        envmap=Envmap.gradient_sky())
+    assert fused_supported(big, st.replace(use_envmap=True))
+    assert not fused_supported(big, st.replace(
         use_envmap=True, env_importance_sampling=True))
     # debug views -> lockstep only
     assert not fused_supported(glass, st.replace(
