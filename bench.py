@@ -102,8 +102,11 @@ def main():
     mrays = rays / dt / 1e6
 
     # FIRST line: the official artifact, emitted before anything slow.
-    _emit(mrays, {"fwd_bwd_throughput_cornell_256spp": None,
-                  "fwd_bwd_status": "pending"})
+    extras = {"fwd_bwd_throughput_cornell_256spp": None,
+              "fwd_bwd_status": "pending",
+              "glass_dragon_mrays": None,
+              "glass_dragon_status": "pending"}
+    _emit(mrays, dict(extras))
 
     # --- fwd+bwd: BASELINE.json metric "Mrays/s/chip (fwd+bwd) at 256spp
     # Cornell box" — one render_loss_grad step (forward render +
@@ -111,8 +114,9 @@ def main():
     # the remaining time budget; on SIGALRM the fwd line above stands.
     remaining = args.budget - (time.monotonic() - t_start)
     if remaining < 20:
-        _emit(mrays, {"fwd_bwd_throughput_cornell_256spp": None,
-                      "fwd_bwd_status": "skipped_budget"})
+        extras["fwd_bwd_status"] = "skipped_budget"
+        extras["glass_dragon_status"] = "skipped_budget"
+        _emit(mrays, dict(extras))
         return 0
 
     def _on_alarm(signum, frame):
@@ -145,19 +149,65 @@ def main():
         dt_bwd = time.perf_counter() - t0
         mrays_bwd = bwd_spp * bwd_w * bwd_w * bwd_frames / dt_bwd / 1e6
         signal.alarm(0)
-        _emit(mrays, {
+        extras.update({
             "fwd_bwd_throughput_cornell_256spp": round(mrays_bwd, 3),
             "fwd_bwd_unit": "Mrays/s/chip (fwd+bwd)",
             "fwd_bwd_config": f"{bwd_w}x{bwd_w}, {bwd_spp}spp, "
                               f"{bounces} bounces",
             "fwd_bwd_status": "ok",
         })
+        _emit(mrays, dict(extras))
     except _BudgetExceeded:
-        _emit(mrays, {"fwd_bwd_throughput_cornell_256spp": None,
-                      "fwd_bwd_status": "timeout_budget"})
+        extras["fwd_bwd_status"] = "timeout_budget"
+        _emit(mrays, dict(extras))
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+    # --- big-scene frontier metric (round-3 verdict weak #7: the
+    # official bench must track the ladder-4 scene, not just Cornell).
+    # Budget-guarded exactly like the fwd+bwd stage.
+    remaining = args.budget - (time.monotonic() - t_start)
+    if remaining < 20:
+        extras["glass_dragon_status"] = "skipped_budget"
+        _emit(mrays, dict(extras))
+        return 0
+    old2 = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(max(1, int(remaining)))
+    try:
+        from halogen_tpu.scene import meshes
+
+        if args.quick or on_cpu:
+            gw, gspp, gb, gframes = 64, 2, 4, 1
+        else:
+            gw, gspp, gb, gframes = 512, 32, 12, 1
+        gscene = meshes.glass_dragon_scene().build()
+        gcam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                              fov_deg=45)
+        gsettings = ht.RenderSettings(
+            width=gw, height=gw, samples_per_pixel=gspp, max_bounces=gb,
+            ray_chunk_size=min(gw * gw, 262144),
+        )
+        render_frame(gscene, gcam, gsettings,
+                     jnp.uint32(0)).block_until_ready()
+        t0 = time.perf_counter()
+        for f in range(gframes):
+            gimg = render_frame(gscene, gcam, gsettings, jnp.uint32(f + 1))
+        gimg.block_until_ready()
+        g_mrays = gspp * gw * gw * gframes / (time.perf_counter() - t0) / 1e6
+        signal.alarm(0)
+        extras.update({
+            "glass_dragon_mrays": round(g_mrays, 3),
+            "glass_dragon_config": f"{gw}x{gw}, {gspp}spp, {gb} bounces",
+            "glass_dragon_status": "ok",
+        })
+        _emit(mrays, dict(extras))
+    except _BudgetExceeded:
+        extras["glass_dragon_status"] = "timeout_budget"
+        _emit(mrays, dict(extras))
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old2)
     return 0
 
 
