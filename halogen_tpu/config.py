@@ -55,11 +55,14 @@ class Intersector(enum.IntEnum):
 
     AUTO selects BRUTE for small scenes (regular, gather-free — maps
     perfectly onto the TPU VPU) and, above the triangle threshold, the
-    RAYLET per-ray worklist kernel on TPU (falling back to the
-    shared-stack PALLAS kernel for scenes beyond the raylet VMEM cap)
-    or the lockstep JAX traversal elsewhere (BVH). AUTO choices cite
-    on-chip A/B measurements in perf/tpu_evidence.jsonl. The reference
-    has only a per-mesh BVH megakernel path
+    TREELET skip-link kernel on TPU (the fastest standalone traversal
+    in the recorded A/B: treelet 0.44 vs raylet/flatlet 0.33 Mrays/s
+    on glass_dragon; the raylet design instead ships as the fused
+    megakernel's in-kernel traversal tier), falling back to the
+    shared-stack PALLAS kernel beyond the treelet VMEM cap, or the
+    lockstep JAX traversal elsewhere (BVH). AUTO choices cite on-chip
+    A/B measurements in perf/tpu_evidence.jsonl. The reference has
+    only a per-mesh BVH megakernel path
     (`HalgoenCompute.compute:378-472`).
     """
 

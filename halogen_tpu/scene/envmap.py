@@ -271,15 +271,17 @@ def build_env_cdf(env: np.ndarray) -> EnvCDF:
 def sample_env_direction(cdf: EnvCDF, u1, u2):
     """Alias-method sample of a direction from the luminance
     distribution. Returns ([..., 3] directions, pdf [...] w.r.t. solid
-    angle). `u2` is accepted for sampler-stream compatibility but the
-    alias draw consumes only u1 (index + threshold from one uniform,
-    the standard trick)."""
+    angle). `u1` picks the column, `u2` is the stay/alias threshold —
+    the single-uniform trick (threshold from the fractional bits of
+    u1*n) loses all threshold resolution once n approaches 2^24 in
+    float32 (at 2048x1024 the branch probability is already off by
+    ~5pp; at >=4k maps the alias branch would never be taken), so the
+    two-uniform form is required for real HDRI sizes."""
     h, w = cdf.pdf.shape
     n = h * w
     r = jnp.clip(u1, 0.0, np.float32(1.0 - 1e-7)) * n
     idx = jnp.clip(r.astype(jnp.int32), 0, n - 1)
-    frac = r - idx.astype(jnp.float32)
-    texel = jnp.where(frac < cdf.alias_p[idx], idx, cdf.alias_j[idx])
+    texel = jnp.where(u2 < cdf.alias_p[idx], idx, cdf.alias_j[idx])
     row = texel // w
     col = texel - row * w
     theta = (row.astype(jnp.float32) + 0.5) / h * np.pi
