@@ -521,13 +521,21 @@ def _make_raylet_traversal(raylet_f: int):
     for the fused bounce loop, in row granules: each 128-lane sublane
     row of the ray block runs its own nearest-first worklist rounds —
     every ray pops the argmin flatlet of its OWN emin column, and the
-    popped tiles (triangle geometry AND shading payload, one fused
-    [2560, F] table) are fetched with one transposed one-hot matmul
-    `tabT @ onehotT[F, 128]` into VMEM scratch — bit-exact at
-    Precision.HIGHEST (see kernels/raylet.py). Cost scales with per-ray
-    candidate counts (~2.5 on glass_dragon, scripts/traversal_diag.py),
-    not block unions (~100) — the measured failure mode of the
-    in-kernel treelet tier (perf_glass_dragon_fusedtrav 0.33 Mrays/s).
+    popped tiles (triangle geometry; the winner's shading payload once
+    per row) are fetched with transposed one-hot matmuls from the
+    bf16x3 pre-split tables (raylet._split_bf16x3: three single-pass
+    bf16 MXU matmuls recombining the f32 values exactly — measured
+    ~680x faster per round than the f32 Precision.HIGHEST matmul they
+    replace). Cost scales with per-ray candidate counts (~2.5 on
+    glass_dragon, scripts/traversal_diag.py), not block unions (~100)
+    — the measured failure mode of the in-kernel treelet tier
+    (perf_glass_dragon_fusedtrav 0.33 Mrays/s).
+
+    Between bounces the caller compacts live rays into dense leading
+    rows (see the `compact` path below): at deep bounces survivors
+    scatter 1-4 per 128-ray row, and an uncompacted row pays a full
+    worklist round (~2k cycles) for those 1-4 rays — the measured
+    reason glass_dragon sat at 3.6 Mrays/s (VERDICT r4).
 
     Reference: the HLSL megakernel traverses inside the shading kernel
     (HalgoenCompute.compute:876-950 -> :378-472); this is that design
@@ -536,25 +544,102 @@ def _make_raylet_traversal(raylet_f: int):
     i32 = jnp.int32
     f32 = jnp.float32
     BIGF = np.float32(3e38)
+    GR = 9 * LANES   # geometry rows per bf16 plane
+    SR = 10 * LANES  # shade rows per bf16 plane
 
-    def tri_intersect(boxesT_ref, tabT_ref, shadeT_ref, o, d, inv_d,
-                      seed, scratch, rays_scratch):
+    def tri_intersect(boxesT_ref, gtab_ref, stab_ref, o, d, inv_d,
+                      seed, rays_ref, comp_ref, res_ref, os_ref,
+                      cmeta_ref):
         S = o[0].shape[0]
         iota_fl = jax.lax.broadcasted_iota(i32, (F, LANES), 0)
         iota_s8 = jax.lax.broadcasted_iota(i32, (8, LANES), 0)
         iota_sl128 = jax.lax.broadcasted_iota(i32, (LANES, LANES), 0)
-        sub_S = jax.lax.broadcasted_iota(i32, (S, LANES), 0)
+        iota_lane = jax.lax.broadcasted_iota(i32, (1, LANES), 1)
+        bf16 = jnp.bfloat16
+
+        def oh_fetch(tab_ref, rows, ohT):
+            # bf16x3 one-hot gather: tab columns selected per lane,
+            # exact f32 reconstruction (hi+mid+lo accumulate in f32).
+            out = jax.lax.dot_general(
+                tab_ref[0:rows], ohT, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            for p in (1, 2):
+                out = out + jax.lax.dot_general(
+                    tab_ref[p * rows:(p + 1) * rows], ohT,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+            return out
+
+        def split3(x):
+            # in-kernel bf16x3 split (exact in normal range): the
+            # matmul-side counterpart of raylet._split_bf16x3
+            hi = x.astype(bf16)
+            r1 = x - hi.astype(f32)
+            mid = r1.astype(bf16)
+            lo = (r1 - mid.astype(f32)).astype(bf16)
+            return hi, mid, lo
+
+        def permute3(x, p, dims):
+            # exact f32 permutation x @ p via bf16x3 (p is a 0/1
+            # selection matrix, exact in bf16)
+            out = None
+            for part in split3(x):
+                t = jax.lax.dot_general(part, p, (dims, ((), ())),
+                                        preferred_element_type=f32)
+                out = t if out is None else out + t
+            return out
 
         # Stage the per-ray fields in VMEM so each row granule can take
         # a free dynamic sublane slice (Mosaic has no dynamic_slice on
-        # values, only on refs).
+        # values, only on refs). Layout [S, 16, 128]: one dynamic-row
+        # read yields all 10 fields of a 128-ray row at once (the
+        # compaction matmuls need them as a single [10, 128] operand).
         for j, v in enumerate((*o, *d, *inv_d, seed)):
-            rays_scratch[j] = v
+            rays_ref[:, j:j + 1, :] = v[:, None, :]
 
-        def row(r, acc):
+        # ------------------------------------------------------------
+        # Live-ray compaction ranks (VERDICT r4 item 1): flattened
+        # row-major rank of every live ray, computed with two exact
+        # one-hot-ish matmuls (prefix sums ride the MXU; counts <= 4096
+        # are exact in the f32 accumulator, operands exact in bf16).
+        # ------------------------------------------------------------
+        live = seed > 0.0                      # [S, 128]
+        live_f = live.astype(f32)
+        su128 = (jax.lax.broadcasted_iota(i32, (LANES, LANES), 0)
+                 < jax.lax.broadcasted_iota(i32, (LANES, LANES), 1)
+                 ).astype(bf16)
+        ex = jax.lax.dot_general(                      # within-row excl
+            live.astype(bf16), su128, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                # [S, 128]
+        rowsum = jnp.sum(live_f, axis=1, keepdims=True)     # [S, 1]
+        rowsum_b = jnp.broadcast_to(rowsum, (S, LANES))
+        slS = (jax.lax.broadcasted_iota(i32, (S, S), 0)
+               > jax.lax.broadcasted_iota(i32, (S, S), 1)).astype(bf16)
+        base = jax.lax.dot_general(                    # cross-row excl
+            slS, rowsum_b.astype(bf16), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                # [S, 128]
+        rank = base + ex
+        n_live = jnp.sum(live_f)
+        rows_live = jnp.sum(jnp.max(live_f, axis=1, keepdims=True))
+        dense_rows = jnp.ceil(n_live * np.float32(1.0 / LANES))
+        # compact only when it saves at least ~2 full rows of worklist
+        # work (the compaction loops themselves cost a few hundred
+        # cycles per live source row)
+        do_compact = rows_live > dense_rows + 1.0
+        cmeta_ref[0] = rank
+        cmeta_ref[1] = live_f
+        cmeta_ref[2] = base
+        cmeta_ref[3] = rowsum_b
+
+        def row_loop(src_ref, dst_ref):
+            jax.lax.fori_loop(0, S, lambda r, c: row(r, c, src_ref,
+                                                     dst_ref), 0)
+
+        def row(r, acc, src_ref, dst_ref):
+            blk = jnp.reshape(src_ref[pl.ds(r, 1)], (16, LANES))
+
             def rs(j):
-                # (1, 128) dynamic sublane row — free relayout
-                return rays_scratch[j, pl.ds(r, 1), :]
+                return blk[j:j + 1, :]  # (1, 128)
 
             ox, oy, oz = rs(0), rs(1), rs(2)
             dx, dy, dz = rs(3), rs(4), rs(5)
@@ -613,16 +698,13 @@ def _make_raylet_traversal(raylet_f: int):
                     # into the popped id so the one-hot stays a pure
                     # iota equality
                     pop = jnp.where(live, pop, F + 1)
-                    ohT = (iota_fl == pop).astype(f32)
-                    scratch[0:9 * LANES] = jax.lax.dot_general(
-                        tabT_ref[:], ohT, (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
+                    ohT = (iota_fl == pop).astype(jnp.bfloat16)
+                    comp = oh_fetch(gtab_ref, GR, ohT)
                     popf = pop.astype(f32)
                     for ci in range(LANES // 8):
                         def cc(j):
                             base = j * LANES + ci * 8
-                            return scratch[base:base + 8, :]
+                            return comp[base:base + 8, :]
 
                         v0x, v0y, v0z = cc(0), cc(1), cc(2)
                         e1x, e1y, e1z = cc(3), cc(4), cc(5)
@@ -683,20 +765,17 @@ def _make_raylet_traversal(raylet_f: int):
                 wslot, wf = pick(pl8), pick(pf8)
                 miss = wf < 0.0
 
-                # ---- winner shade fetch: one matmul for the winner
-                # flatlet's shade tile, then a slot select across its
-                # 128 sublane rows (fields n0 | n1-n0 | n2-n0 | mat).
+                # ---- winner shade fetch: one bf16x3 gather for the
+                # winner flatlet's shade tile, then a slot select across
+                # its 128 sublane rows (fields n0 | n1-n0 | n2-n0 | mat).
                 ohw = (iota_fl == jnp.where(
                     miss, F + 1, wslot * 0.0 + wf).astype(i32)
-                ).astype(f32)
-                scratch[:] = jax.lax.dot_general(
-                    shadeT_ref[:], ohw, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST)
+                ).astype(jnp.bfloat16)
+                shcomp = oh_fetch(stab_ref, SR, ohw)
                 ssel = iota_sl128 == wslot.astype(i32)
 
                 def slot_val(j):
-                    blk = scratch[j * LANES:(j + 1) * LANES, :]
+                    blk = shcomp[j * LANES:(j + 1) * LANES, :]
                     return jnp.sum(jnp.where(ssel, blk, 0.0), axis=0,
                                    keepdims=True)
 
@@ -704,31 +783,119 @@ def _make_raylet_traversal(raylet_f: int):
                 ny = slot_val(1) + slot_val(4) * wu + slot_val(7) * wv
                 nz = slot_val(2) + slot_val(5) * wu + slot_val(8) * wv
                 wm = slot_val(9)
-                return (jnp.where(miss, _INF, t_row), wsn,
+                # miss marker is BIGF, not +inf: the compacted results
+                # travel through a bf16x3 scatter matmul and inf splits
+                # to inf + nan; BIGF (3e38) splits exactly and is
+                # converted back to +inf once at the end.
+                return (jnp.where(miss, BIGF, t_row), wsn,
                         nx, ny, nz, jnp.where(miss, 0.0, wm))
 
             def dead_row(_):
                 one = jnp.ones((1, LANES), f32)
-                return (one * _INF, one, one * 0.0, one * 0.0,
+                return (one * BIGF, one, one * 0.0, one * 0.0,
                         one * 0.0, one * 0.0)
 
-            t_row, s_row, nx_row, ny_row, nz_row, m_row = jax.lax.cond(
+            outs = jax.lax.cond(
                 jnp.any(rseed > 0.0), live_row, dead_row, 0)
+            for j, val in enumerate(outs):
+                dst_ref[pl.ds(r, 1), j:j + 1, :] = val[:, None, :]
+            return acc
 
-            tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = acc
-            sel = sub_S == r
-            return (jnp.where(sel, t_row, tr_t),
-                    jnp.where(sel, s_row, tr_s),
-                    jnp.where(sel, nx_row, tr_nx),
-                    jnp.where(sel, ny_row, tr_ny),
-                    jnp.where(sel, nz_row, tr_nz),
-                    jnp.where(sel, m_row, tr_mat))
+        # Default outputs (compact path only scatters live lanes back)
+        os_ref[:, 0:1, :] = jnp.full((S, 1, LANES), BIGF)   # t: miss
+        os_ref[:, 1:2, :] = jnp.ones((S, 1, LANES), f32)    # sign
+        os_ref[:, 2:8, :] = jnp.zeros((S, 6, LANES), f32)   # n, mat
 
-        shape = o[0].shape
-        acc0 = (jnp.full(shape, _INF), jnp.ones(shape, f32),
-                jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-                jnp.zeros(shape, f32), jnp.zeros(shape, f32))
-        return jax.lax.fori_loop(0, S, row, acc0)
+        @pl.when(jnp.logical_not(do_compact))
+        def _direct():
+            row_loop(rays_ref, os_ref)
+
+        @pl.when(do_compact)
+        def _compact():
+            # ---- forward scatter: place each source row's live rays at
+            # their absolute compacted lanes via one exact one-hot
+            # matmul per row; a live row's ranks are consecutive, so its
+            # rays land in at most two destination rows (RMW-masked).
+            comp_ref[:, 0:3, :] = jnp.zeros((S, 3, LANES), f32)   # o
+            comp_ref[:, 3:9, :] = jnp.ones((S, 6, LANES), f32)    # d, inv
+            comp_ref[:, 9:10, :] = jnp.full((S, 1, LANES), -1.0)  # seed
+
+            def fwd(s, c):
+                n_s = jnp.max(cmeta_ref[3, pl.ds(s, 1), :]).astype(i32)
+
+                @pl.when(n_s > 0)
+                def _():
+                    rank_i = cmeta_ref[0, pl.ds(s, 1), :].astype(i32)
+                    live_row = cmeta_ref[1, pl.ds(s, 1), :] > 0.0
+                    base_s = jnp.max(
+                        cmeta_ref[2, pl.ds(s, 1), :]).astype(i32)
+                    al = jnp.bitwise_and(rank_i, LANES - 1)
+                    p2t = ((iota_sl128 == al) & live_row).astype(bf16)
+                    x = jnp.reshape(rays_ref[pl.ds(s, 1)],
+                                    (16, LANES))[0:10]
+                    y = permute3(x, p2t, ((1,), (1,)))  # [10,128] at al
+                    off = jnp.bitwise_and(base_s, LANES - 1)
+                    r0 = jnp.right_shift(base_s, 7)
+                    m0 = ((iota_lane >= off)
+                          & (iota_lane < off + n_s))[:, None, :]
+                    cur0 = comp_ref[pl.ds(r0, 1), 0:10, :]
+                    comp_ref[pl.ds(r0, 1), 0:10, :] = jnp.where(
+                        jnp.broadcast_to(m0, (1, 10, LANES)),
+                        y[None], cur0)
+
+                    @pl.when(off + n_s > LANES)
+                    def _():
+                        m1 = (iota_lane < off + n_s - LANES)[:, None, :]
+                        cur1 = comp_ref[pl.ds(r0 + 1, 1), 0:10, :]
+                        comp_ref[pl.ds(r0 + 1, 1), 0:10, :] = jnp.where(
+                            jnp.broadcast_to(m1, (1, 10, LANES)),
+                            y[None], cur1)
+                return c
+
+            jax.lax.fori_loop(0, S, fwd, 0)
+            row_loop(comp_ref, res_ref)
+
+            # ---- backward gather: each source row reads its (at most
+            # two) destination result rows and un-permutes them with the
+            # transposed selection matmuls; dead lanes keep os defaults.
+            def bwd(s, c):
+                n_s = jnp.max(cmeta_ref[3, pl.ds(s, 1), :]).astype(i32)
+
+                @pl.when(n_s > 0)
+                def _():
+                    rank_i = cmeta_ref[0, pl.ds(s, 1), :].astype(i32)
+                    live_row = cmeta_ref[1, pl.ds(s, 1), :] > 0.0
+                    base_s = jnp.max(
+                        cmeta_ref[2, pl.ds(s, 1), :]).astype(i32)
+                    al = jnp.bitwise_and(rank_i, LANES - 1)
+                    r0 = jnp.right_shift(base_s, 7)
+                    in_r0 = jnp.right_shift(rank_i, 7) == r0
+                    a0 = ((iota_sl128 == al) & live_row
+                          & in_r0).astype(bf16)
+                    a1 = ((iota_sl128 == al) & live_row
+                          & jnp.logical_not(in_r0)).astype(bf16)
+                    y0 = jnp.reshape(res_ref[pl.ds(r0, 1)],
+                                     (8, LANES))[0:6]
+                    r1 = jnp.minimum(r0 + 1, S - 1)
+                    y1 = jnp.reshape(res_ref[pl.ds(r1, 1)],
+                                     (8, LANES))[0:6]
+                    xb = (permute3(y0, a0, ((1,), (0,)))
+                          + permute3(y1, a1, ((1,), (0,))))  # [6,128]
+                    lm = jnp.broadcast_to(live_row[:, None, :],
+                                          (1, 6, LANES))
+                    cur = os_ref[pl.ds(s, 1), 0:6, :]
+                    os_ref[pl.ds(s, 1), 0:6, :] = jnp.where(
+                        lm, xb[None], cur)
+                return c
+
+            jax.lax.fori_loop(0, S, bwd, 0)
+
+        def out(j):
+            return jnp.reshape(os_ref[:, j:j + 1, :], (S, LANES))
+
+        tr_t = out(0)
+        tr_t = jnp.where(tr_t >= BIGF, _INF, tr_t)
+        return (tr_t, out(1), out(2), out(3), out(4), out(5))
 
     return tri_intersect
 
@@ -797,11 +964,11 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
         traverse = None
 
     def kernel(*refs):
-        scratch_ref = rays_scratch_ref = None
+        raylet_scratch = None
         if raylet_f is not None:
-            scratch_ref, rays_scratch_ref = refs[-2:]
-            refs = refs[:-2]
-            (far_ref, boxesT_ref, tabT_ref, shadeT_ref, sph_ref, mat_ref,
+            raylet_scratch = refs[-5:]
+            refs = refs[:-5]
+            (far_ref, boxesT_ref, gtab_ref, stab_ref, sph_ref, mat_ref,
              *rest) = refs
             tri_ref = trin_ref = nodes_ref = tris_ref = shade_ref = None
         elif treelet_k is None:
@@ -958,8 +1125,8 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                 seed_t = jnp.where(active, seed_t, np.float32(-1.0))
                 if raylet_f is not None:
                     tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = traverse(
-                        boxesT_ref, tabT_ref, shadeT_ref, o, d, inv_d,
-                        seed_t, scratch_ref, rays_scratch_ref)
+                        boxesT_ref, gtab_ref, stab_ref, o, d, inv_d,
+                        seed_t, *raylet_scratch)
                 else:
                     tr_t, tr_s, tr_nx, tr_ny, tr_nz, tr_mat = traverse(
                         nodes_ref, tris_ref, shade_ref, o, d, inv_d,
@@ -1406,7 +1573,7 @@ def _fused_raylet_f(scene: SceneData) -> int | None:
     """Flatlet count if the scene is eligible for the in-kernel raylet
     worklist tier (needs the transposed fused tables), else None."""
     rb = scene.rbvh
-    if rb is None or getattr(rb, "tabT", None) is None:
+    if rb is None or getattr(rb, "gtab", None) is None:
         return None
     return int(rb.num_flatlets)
 
@@ -1586,12 +1753,17 @@ def trace_color_fused(
         rb = scene.rbvh
         # Full raylet tables resident in VMEM across the whole grid
         # (constant index_map -> fetched once, not per ray block), plus
-        # the per-block matmul scratch tile.
-        scene_inputs = [rb.boxesT, rb.tabT, rb.shadeT]
-        scene_specs = [vmem_full(rb.boxesT), vmem_full(rb.tabT),
-                       vmem_full(rb.shadeT)]
-        scratch_shapes = [pltpu.VMEM((1280, LANES), jnp.float32),
-                          pltpu.VMEM((10, sublanes, LANES), jnp.float32)]
+        # the per-block ray staging scratch.
+        scene_inputs = [rb.boxesT, rb.gtab, rb.stab]
+        scene_specs = [vmem_full(rb.boxesT), vmem_full(rb.gtab),
+                       vmem_full(rb.stab)]
+        # rays / compacted rays / compacted results / final outputs /
+        # compaction metadata (see _make_raylet_traversal)
+        scratch_shapes = [pltpu.VMEM((sublanes, 16, LANES), jnp.float32),
+                          pltpu.VMEM((sublanes, 16, LANES), jnp.float32),
+                          pltpu.VMEM((sublanes, 8, LANES), jnp.float32),
+                          pltpu.VMEM((sublanes, 8, LANES), jnp.float32),
+                          pltpu.VMEM((4, sublanes, LANES), jnp.float32)]
         params = dict(compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024))
     elif treelet_k is None:
