@@ -516,7 +516,7 @@ def _make_traversal(treelet_k: int):
     return tri_intersect
 
 
-def _make_raylet_traversal(raylet_f: int):
+def _make_raylet_traversal(raylet_f: int, tile: int):
     """In-kernel per-ray worklist traversal (kernels/raylet.py design)
     for the fused bounce loop, in row granules: each 128-lane sublane
     row of the ray block runs its own nearest-first worklist rounds —
@@ -541,11 +541,12 @@ def _make_raylet_traversal(raylet_f: int):
     (HalgoenCompute.compute:876-950 -> :378-472); this is that design
     with the traversal reformulated as dense worklist rounds."""
     F = raylet_f
+    TILE = tile
     i32 = jnp.int32
     f32 = jnp.float32
     BIGF = np.float32(3e38)
-    GR = 9 * LANES   # geometry rows per bf16 plane
-    SR = 10 * LANES  # shade rows per bf16 plane
+    GR = 9 * tile    # geometry rows per bf16 plane
+    SR = 10 * tile   # shade rows per bf16 plane
 
     def tri_intersect(boxesT_ref, gtab_ref, stab_ref, o, d, inv_d,
                       seed, rays_ref, comp_ref, res_ref, os_ref,
@@ -701,9 +702,9 @@ def _make_raylet_traversal(raylet_f: int):
                     ohT = (iota_fl == pop).astype(jnp.bfloat16)
                     comp = oh_fetch(gtab_ref, GR, ohT)
                     popf = pop.astype(f32)
-                    for ci in range(LANES // 8):
+                    for ci in range(TILE // 8):
                         def cc(j):
-                            base = j * LANES + ci * 8
+                            base = j * TILE + ci * 8
                             return comp[base:base + 8, :]
 
                         v0x, v0y, v0z = cc(0), cc(1), cc(2)
@@ -772,10 +773,11 @@ def _make_raylet_traversal(raylet_f: int):
                     miss, F + 1, wslot * 0.0 + wf).astype(i32)
                 ).astype(jnp.bfloat16)
                 shcomp = oh_fetch(stab_ref, SR, ohw)
-                ssel = iota_sl128 == wslot.astype(i32)
+                ssel = (jax.lax.broadcasted_iota(
+                    i32, (TILE, LANES), 0) == wslot.astype(i32))
 
                 def slot_val(j):
-                    blk = shcomp[j * LANES:(j + 1) * LANES, :]
+                    blk = shcomp[j * TILE:(j + 1) * TILE, :]
                     return jnp.sum(jnp.where(ssel, blk, 0.0), axis=0,
                                    keepdims=True)
 
@@ -957,7 +959,7 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
         return (_sobol_1d if sobol else _prng_1d_impl)(index, dim, seed)
 
     if raylet_f is not None:
-        traverse = _make_raylet_traversal(raylet_f)
+        traverse = _make_raylet_traversal(*raylet_f)
     elif treelet_k is not None:
         traverse = _make_traversal(treelet_k)
     else:
@@ -1569,13 +1571,14 @@ def _fused_treelet_k(scene: SceneData) -> int | None:
     return int(tb.num_treelets)
 
 
-def _fused_raylet_f(scene: SceneData) -> int | None:
-    """Flatlet count if the scene is eligible for the in-kernel raylet
-    worklist tier (needs the transposed fused tables), else None."""
+def _fused_raylet_f(scene: SceneData) -> tuple[int, int] | None:
+    """(flatlet count, tile width) if the scene is eligible for the
+    in-kernel raylet worklist tier (needs the transposed fused tables),
+    else None."""
     rb = scene.rbvh
     if rb is None or getattr(rb, "gtab", None) is None:
         return None
-    return int(rb.num_flatlets)
+    return int(rb.num_fused_flatlets), int(rb.fused_tile)
 
 
 def fused_supported(scene: SceneData, settings: RenderSettings) -> bool:

@@ -58,6 +58,7 @@ RAY_SUB = 8
 RAY_LANE = 128
 BLOCK_RAYS = RAY_SUB * RAY_LANE  # rays per grid block
 GRANULE = 32  # rays per worklist granule (R); static kernel param
+FUSED_TILE = 128  # tris per tile in the fused-tier cut (on-chip A/B glass_dragon: 128->6.55, 64->6.37, 32->5.96 Mrays/s - box-pass cost at higher F beats the MT-slot savings)
 # The one-hot matmul needs the whole [F, 1280] triangle table resident
 # in VMEM: G groups of 128 flatlets cost G * 0.66 MB (plus emin rows at
 # (R, G*128)). Cap well inside the 100 MB scoped budget with room for
@@ -104,10 +105,16 @@ class RayletBVH:
     stab: jnp.ndarray | None = None
     leaf_tris: int = dataclasses.field(
         default=RAY_LANE, metadata=dict(static=True))
+    fused_tile: int = dataclasses.field(
+        default=RAY_LANE, metadata=dict(static=True))
 
     @property
     def num_flatlets(self) -> int:
         return self.tris_flat.shape[0]
+
+    @property
+    def num_fused_flatlets(self) -> int:
+        return self.gtab.shape[1]
 
 
 def pack_raylets(tri_verts_world: np.ndarray, max_leaf: int = 5,
@@ -115,12 +122,17 @@ def pack_raylets(tri_verts_world: np.ndarray, max_leaf: int = 5,
                  tri_ids: np.ndarray | None = None,
                  fbvh: FlatletBVH | None = None,
                  tri_normals_world: np.ndarray | None = None,
-                 tri_materials: np.ndarray | None = None) -> RayletBVH:
+                 tri_materials: np.ndarray | None = None,
+                 fused_tile: int = FUSED_TILE) -> RayletBVH:
     """Build the raylet tables (host side). Reuses the flatlet packing
     (greedy top-down SAH-subtree cut at <=128 tris) and re-lays it out
     for the one-hot matmul. When `tri_normals_world`/`tri_materials`
     are given, also packs the transposed fused-tier tables (boxesT,
-    tabT, shadeT) consumed by the megakernel's in-kernel traversal."""
+    gtab, stab) consumed by the megakernel's in-kernel traversal, cut
+    at `fused_tile` triangles per tile: narrower tiles mean fewer
+    wasted Möller-Trumbore slots per pop (the tile loop is the fused
+    round's dominant VPU cost) at the price of more flatlet boxes in
+    the dense per-row box pass."""
     if fbvh is None:
         fbvh = pack_flatlets(tri_verts_world, leaf_tris=RAY_LANE,
                              max_leaf=max_leaf, max_depth=max_depth,
@@ -137,31 +149,43 @@ def pack_raylets(tri_verts_world: np.ndarray, max_leaf: int = 5,
 
     boxesT = gtab = stab = None
     if tri_normals_world is not None and tri_materials is not None:
-        boxesT = boxes.reshape(6, -1)[:, :, None]  # [6, F, 1]
+        fb2 = fbvh
+        if fused_tile != RAY_LANE:
+            fb2 = pack_flatlets(tri_verts_world, leaf_tris=fused_tile,
+                                max_leaf=max_leaf, max_depth=max_depth,
+                                tri_ids=tri_ids)
+        # flatlet tiles are always 128 slots wide; a narrower cut just
+        # leaves slots >= fused_tile empty, so slice them off
+        t2 = np.asarray(fb2.tris)[:, :, :fused_tile]  # [F2, 10, tile]
+        b2 = np.asarray(fb2.boxes)[:, :, 0, :]
+        F2 = t2.shape[0]
+        boxesT = b2.transpose(1, 0, 2).reshape(6, F2)[:, :, None]
         # shading payload per (flatlet, slot): n0 | n1-n0 | n2-n0 | mat,
         # gathered by the slot's global triangle id. Pad slots (gid row
         # carries 0) get tri 0's payload — harmless, they can never win
         # (degenerate pad triangles have det 0).
         tn = np.asarray(tri_normals_world, np.float32)
         tm = np.asarray(tri_materials, np.float32).reshape(-1)
-        gid = t[:, 9, :].astype(np.int64)  # [F, 128]
-        n0 = tn[gid, 0]  # [F, 128, 3]
+        gid = t2[:, 9, :].astype(np.int64)  # [F2, tile]
+        n0 = tn[gid, 0]  # [F2, tile, 3]
         d1 = tn[gid, 1] - n0
         d2 = tn[gid, 2] - n0
         fields = np.concatenate(
             [n0.transpose(0, 2, 1), d1.transpose(0, 2, 1),
              d2.transpose(0, 2, 1), tm[gid][:, None, :]],
-            axis=1)  # [F, 10, 128]
-        shadeT = np.ascontiguousarray(fields.reshape(F, -1).T)  # [1280,F]
-        # Fused-tier geometry table: v0 | e1 | e2 fields only (9 x 128
-        # rows) — the winner's shading payload is fetched from the shade
-        # table once per row granule, not on every pop round.
-        tabT = np.ascontiguousarray(tris_flat.T[:9 * RAY_LANE])  # [1152,F]
-        boxesT = jnp.asarray(boxesT)
+            axis=1)  # [F2, 10, tile]
+        shadeT = np.ascontiguousarray(
+            fields.reshape(F2, -1).T)  # [10*tile, F2]
+        # Fused-tier geometry table: v0 | e1 | e2 fields only — the
+        # winner's shading payload is fetched from the shade table once
+        # per row granule, not on every pop round.
+        tabT = np.ascontiguousarray(
+            t2.reshape(F2, -1).T[:9 * fused_tile])  # [9*tile, F2]
+        boxesT = jnp.asarray(np.ascontiguousarray(boxesT))
         gtab = jnp.asarray(_split_bf16x3(tabT))
         stab = jnp.asarray(_split_bf16x3(shadeT))
     return RayletBVH(jnp.asarray(boxes), jnp.asarray(tris_flat),
-                     boxesT, gtab, stab, RAY_LANE)
+                     boxesT, gtab, stab, RAY_LANE, fused_tile)
 
 
 def _split_bf16x3(x: np.ndarray) -> np.ndarray:
