@@ -1891,6 +1891,38 @@ def _diff_fused(settings: RenderSettings):
 
     def bwd(res, ct):
         scene, origin, direction, far, sample_idx, seed = res
+        f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
+
+        from halogen_tpu.kernels import adjoint as adj
+
+        if adj.adjoint_supported(scene, settings):
+            # Fused backward: the whole path-replay adjoint runs as a
+            # second Pallas kernel (kernels/adjoint.py) producing the
+            # material-table cotangent directly. Geometry and
+            # camera-ray cotangents are zero on this path — the
+            # supported differentiable surface is the inverse-rendering
+            # one (materials/emission/absorption; diff/grad.py); use
+            # Fused.OFF to differentiate w.r.t. geometry or camera.
+            import dataclasses
+
+            dmat12 = adj.trace_grad_fused_materials(
+                scene, origin, direction, far, sample_idx, seed, ct,
+                settings)
+            d_mats = adj.material_cotangents(scene, dmat12)
+
+            def zl(x):
+                if hasattr(x, "dtype") and jnp.issubdtype(
+                        x.dtype, jnp.floating):
+                    return jnp.zeros_like(x)
+                return np.zeros(np.shape(x), jax.dtypes.float0)
+
+            d_scene = dataclasses.replace(
+                jax.tree.map(zl, scene), materials=d_mats)
+            return (d_scene, jnp.zeros_like(origin),
+                    jnp.zeros_like(direction),
+                    jnp.zeros_like(jnp.asarray(far)),
+                    f0(sample_idx), f0(seed))
+
         n = origin.shape[0]
         far_b = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n,))
         _, vjp = jax.vjp(
@@ -1899,7 +1931,6 @@ def _diff_fused(settings: RenderSettings):
             scene, origin, direction,
         )
         d_scene, d_o, d_d = vjp(ct)
-        f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
         return (d_scene, d_o, d_d, jnp.zeros_like(jnp.asarray(far)),
                 f0(sample_idx), f0(seed))
 

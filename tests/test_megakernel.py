@@ -76,15 +76,20 @@ def test_fused_bounce_limits():
 
 
 @pytest.mark.slow
-def test_fused_gradients_match_lockstep():
-    """trace_color_fused_diff: fused forward, lockstep-replay backward.
-    Gradients w.r.t. material parameters must equal the lockstep tracer's
-    (same backward program)."""
+@pytest.mark.parametrize("rr", [False, True])
+def test_fused_gradients_match_lockstep(rr):
+    """trace_color_fused_diff: fused forward, fused path-replay adjoint
+    backward (kernels/adjoint.py) on eligible scenes. Material-parameter
+    gradients must equal the lockstep tracer's vjp — including the
+    un-detached Russian-roulette 1/max(atten) chain when rr=True."""
     import dataclasses
+
+    from halogen_tpu.kernels import adjoint as adj
 
     scene = cornell.cornell_box(glossy=True).build()
     settings = ht.RenderSettings(width=8, height=8, max_bounces=3,
-                                 russian_roulette=False)
+                                 russian_roulette=rr)
+    assert adj.adjoint_supported(scene, settings)
     o, d, far, sidx, seed = _rays(settings, w=8)
 
     def swap(mats):
