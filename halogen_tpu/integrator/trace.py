@@ -57,9 +57,8 @@ from halogen_tpu.integrator.shade import evaluate_material_hit, gather_materials
 from halogen_tpu.sampler import sobol as sob
 from halogen_tpu.scene.envmap import (
     env_pdf,
-    sample_env,
-    sample_env_direction,
-    sample_env_mip_nearest,
+    sample_env_draw,
+    sample_env_packed,
 )
 from halogen_tpu.scene.lights import sample_light, sphere_cone_pdf
 
@@ -101,7 +100,9 @@ def sample_sky(
     envmap is bound."""
     if not settings.use_envmap or not scene.env_mips:
         return jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
-    return sample_env(scene.env_mips, direction, level)
+    # footprint-packed row gathers: one gather per bilinear tap instead
+    # of four (identical taps/blends — see envmap.sample_env_packed)
+    return sample_env_packed(scene.env_mips, direction, level)
 
 
 class Pool(NamedTuple):
@@ -294,19 +295,20 @@ def _pool_bounce(
     if use_nee:
         dim_nee = jnp.uint32(sob.DIM_ENV_NEE_BASE) + stride
         nu, nv = s2(sample_idx, dim_nee, seed)
-        ldir, lpdf = sample_env_direction(scene.env_cdf, nu, nv)
+        ldir, lpdf, radiance = sample_env_draw(
+            scene.env_cdf, scene.env_mips[0], nu, nv)
         cos_l = jnp.sum(hit.normal * ldir, axis=-1)
         cand = surf_lane & (cos_l > 0.0) & (lpdf > 1e-12)
         sh_origin = hit.pos + hit.normal * 1e-4
         sh_hit, _, _ = intersect_scene(scene, sh_origin, ldir, far_eff,
                                        settings)
         visible = sh_hit.t >= far
-        # Radiance MUST be the nearest-texel value of the same (finest)
-        # mip the pdf tables were built from: a filtered or coarser-mip
-        # lookup spreads bright texels onto neighbors whose pdf is tiny
-        # -> giant-weight fireflies. The env_mip_level knob remains a
-        # BRDF-path-only bias, as in the reference.
-        radiance = sample_env_mip_nearest(scene.env_mips[0], ldir)
+        # Radiance is the exact texel the pdf tables were built from
+        # (fused into the one-row draw gather): a filtered or
+        # coarser-mip lookup would spread bright texels onto neighbors
+        # whose pdf is tiny -> giant-weight fireflies. The
+        # env_mip_level knob remains a BRDF-path-only bias, as in the
+        # reference.
         p_gl_l = jax.lax.stop_gradient(
             procedural_glossy_pdf(ldir, mirror, a2, hit.normal))
         p_mix_l = jax.lax.stop_gradient(

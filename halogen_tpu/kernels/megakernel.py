@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from halogen_tpu.config import DebugMode, RenderSettings, SamplerKind
 from halogen_tpu.core.types import SceneData
-from halogen_tpu.scene.envmap import sample_env
+from halogen_tpu.scene.envmap import sample_env_packed
 
 # Static eligibility caps: the scene tables must fit in SMEM and the
 # primitive loops are fully unrolled in the kernel body.
@@ -550,7 +550,7 @@ def _make_raylet_traversal(raylet_f: int, tile: int):
 
     def tri_intersect(boxesT_ref, gtab_ref, stab_ref, o, d, inv_d,
                       seed, rays_ref, comp_ref, res_ref, os_ref,
-                      cmeta_ref):
+                      cmeta_ref, want_shade=True, any_hit_far=None):
         S = o[0].shape[0]
         iota_fl = jax.lax.broadcasted_iota(i32, (F, LANES), 0)
         iota_s8 = jax.lax.broadcasted_iota(i32, (8, LANES), 0)
@@ -636,7 +636,7 @@ def _make_raylet_traversal(raylet_f: int, tile: int):
             jax.lax.fori_loop(0, S, lambda r, c: row(r, c, src_ref,
                                                      dst_ref), 0)
 
-        def row(r, acc, src_ref, dst_ref):
+        def row(r, acc, src_ref, dst_ref):  # noqa: C901
             blk = jnp.reshape(src_ref[pl.ds(r, 1)], (16, LANES))
 
             def rs(j):
@@ -742,6 +742,10 @@ def _make_raylet_traversal(raylet_f: int, tile: int):
                     btr = jnp.minimum(
                         btr, jnp.min(pt8, axis=0, keepdims=True))
                     emin = jnp.where(iota_fl == pop, BIGF, emin)
+                    if any_hit_far is not None:
+                        # occlusion query: a ray with any hit inside
+                        # far is done — drop its remaining worklist
+                        emin = jnp.where(btr < any_hit_far, BIGF, emin)
                     return (emin, pt8, pu8, pv8, ps8, pl8, pf8, btr)
 
                 (_, pt8, pu8, pv8, ps8, pl8, pf8, _) = jax.lax.while_loop(
@@ -769,22 +773,27 @@ def _make_raylet_traversal(raylet_f: int, tile: int):
                 # ---- winner shade fetch: one bf16x3 gather for the
                 # winner flatlet's shade tile, then a slot select across
                 # its 128 sublane rows (fields n0 | n1-n0 | n2-n0 | mat).
-                ohw = (iota_fl == jnp.where(
-                    miss, F + 1, wslot * 0.0 + wf).astype(i32)
-                ).astype(jnp.bfloat16)
-                shcomp = oh_fetch(stab_ref, SR, ohw)
-                ssel = (jax.lax.broadcasted_iota(
-                    i32, (TILE, LANES), 0) == wslot.astype(i32))
+                # Occlusion queries (want_shade=False) only need t.
+                if want_shade:
+                    ohw = (iota_fl == jnp.where(
+                        miss, F + 1, wslot * 0.0 + wf).astype(i32)
+                    ).astype(jnp.bfloat16)
+                    shcomp = oh_fetch(stab_ref, SR, ohw)
+                    ssel = (jax.lax.broadcasted_iota(
+                        i32, (TILE, LANES), 0) == wslot.astype(i32))
 
-                def slot_val(j):
-                    blk = shcomp[j * TILE:(j + 1) * TILE, :]
-                    return jnp.sum(jnp.where(ssel, blk, 0.0), axis=0,
-                                   keepdims=True)
+                    def slot_val(j):
+                        blk = shcomp[j * TILE:(j + 1) * TILE, :]
+                        return jnp.sum(jnp.where(ssel, blk, 0.0),
+                                       axis=0, keepdims=True)
 
-                nx = slot_val(0) + slot_val(3) * wu + slot_val(6) * wv
-                ny = slot_val(1) + slot_val(4) * wu + slot_val(7) * wv
-                nz = slot_val(2) + slot_val(5) * wu + slot_val(8) * wv
-                wm = slot_val(9)
+                    nx = slot_val(0) + slot_val(3) * wu + slot_val(6) * wv
+                    ny = slot_val(1) + slot_val(4) * wu + slot_val(7) * wv
+                    nz = slot_val(2) + slot_val(5) * wu + slot_val(8) * wv
+                    wm = slot_val(9)
+                else:
+                    z1 = jnp.zeros((1, LANES), f32)
+                    nx, ny, nz, wm = z1, z1, z1, z1
                 # miss marker is BIGF, not +inf: the compacted results
                 # travel through a bf16x3 scatter matmul and inf splits
                 # to inf + nan; BIGF (3e38) splits exactly and is
@@ -1423,9 +1432,20 @@ def _make_kernel(settings: RenderSettings, num_tris: int, num_spheres: int,
                     t = jnp.where(disc >= 0.0, t, _INF)
                     t = jnp.where((aabb_t < far) & (t > _HIT_EPS), t, _INF)
                     ssp_t = jnp.minimum(ssp_t, t)
-                # shadow triangles: closest t (brute tier only; see
-                # fused_supported's env_nee gate)
-                str_t = jnp.full(shape, _INF)
+                # shadow triangles: brute tier tests the unrolled SMEM
+                # table; the raylet tier runs the same in-kernel
+                # worklist traversal as primary rays in occlusion mode
+                # (no shade fetch, any-hit-inside-far early exit)
+                if raylet_f is not None:
+                    sh_seed = jnp.where(cand, far, np.float32(-1.0))
+                    str_t, *_ = traverse(
+                        boxesT_ref, gtab_ref, stab_ref,
+                        (shx, shy, shz), (ldx, ldy, ldz),
+                        (ilx, ily, ilz), sh_seed, *raylet_scratch,
+                        want_shade=False, any_hit_far=far)
+                    str_t = jnp.where(cand, str_t, _INF)
+                else:
+                    str_t = jnp.full(shape, _INF)
                 for ti in range(num_tris if tri_ref is not None else 0):
                     v0 = (tri_ref[ti, 0], tri_ref[ti, 1], tri_ref[ti, 2])
                     e1 = (tri_ref[ti, 3], tri_ref[ti, 4], tri_ref[ti, 5])
@@ -1603,9 +1623,11 @@ def fused_supported(scene: SceneData, settings: RenderSettings) -> bool:
     return (
         settings.debug_mode == DebugMode.NONE
         # env NEE runs fused on the brute tier (in-kernel shadow rays
-        # against the unrolled SMEM tables + precomputed CDF draws);
-        # big-scene NEE still falls back to the lockstep scheduler
-        and (not env_nee or scene.num_triangles <= MAX_TRIS)
+        # against the unrolled SMEM tables) and on the raylet tier
+        # (occlusion-mode worklist traversal); treelet-only big scenes
+        # fall back to the lockstep scheduler
+        and (not env_nee or scene.num_triangles <= MAX_TRIS
+             or _fused_raylet_f(scene) is not None)
         and not light_nee
         and tris_ok
         and scene.num_spheres <= MAX_SPHERES
@@ -1732,9 +1754,9 @@ def trace_color_fused(
 
     env_nee = (settings.use_envmap and settings.env_importance_sampling
                and scene.env_cdf is not None and bool(scene.env_mips))
-    # in-kernel shadow rays run against the unrolled SMEM triangle
-    # table; fused_supported gates NEE scenes to the brute tier
-    assert not (env_nee and (raylet_f is not None or treelet_k is not None))
+    # in-kernel shadow rays: brute SMEM table or raylet occlusion
+    # traversal; fused_supported keeps treelet-only NEE off this path
+    assert not (env_nee and treelet_k is not None)
     kernel = _make_kernel(
         settings, scene.num_triangles, scene.num_spheres,
         scene.materials.count, scene.any_transmissive,
@@ -1793,8 +1815,7 @@ def trace_color_fused(
         # inversion and texel reads are gather-shaped and XLA-batched
         # here instead of per-bounce inside the kernel.
         from halogen_tpu.sampler import sobol as sob
-        from halogen_tpu.scene.envmap import (
-            sample_env_direction, sample_env_mip_nearest)
+        from halogen_tpu.scene.envmap import sample_env_draw
 
         K = settings.max_bounces + 1
         s2 = (sob.prng_sample_2d if settings.sampler == SamplerKind.PRNG
@@ -1805,8 +1826,8 @@ def trace_color_fused(
         sidx_f = sidx.reshape(-1)
         seed_f = sd.reshape(-1)
         nu, nv = s2(sidx_f[None, :], dims[:, None], seed_f[None, :])
-        ldir, lpdf = sample_env_direction(scene.env_cdf, nu, nv)
-        rad = sample_env_mip_nearest(scene.env_mips[0], ldir)
+        ldir, lpdf, rad = sample_env_draw(
+            scene.env_cdf, scene.env_mips[0], nu, nv)
         nee_tab = jnp.stack(
             [ldir[..., 0], ldir[..., 1], ldir[..., 2], lpdf,
              rad[..., 0], rad[..., 1], rad[..., 2]], axis=0,
@@ -1856,7 +1877,7 @@ def trace_color_fused(
                      + m_rough * settings.mip_importance_range)
         else:
             level = jnp.full((n,), settings.env_mip_level, jnp.float32)
-        sky = sample_env(scene.env_mips, m_dir, level) * matten
+        sky = sample_env_packed(scene.env_mips, m_dir, level) * matten
         if env_nee:
             # sky MIS against the recorded continuation pdf (the
             # deferred analog of trace's sky_w block)

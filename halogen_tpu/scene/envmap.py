@@ -225,11 +225,21 @@ class EnvCDF(NamedTuple):
     per draw — measured ~2.7 s/frame of pure VPU work on the ladder-3
     config (84M draws x 128 lanes). The sampled distribution is exactly
     the same solid-angle-weighted luminance measure.
+
+    `draw_static` fuses the per-draw table rows: XLA gather cost on v5e
+    is per ROW, not per element (measured: a [T]->[N] scalar gather and
+    a [T,16]->[N,16] slice gather both run ~0.15 Grow/s, while separate
+    scalar gathers pay the full cost each), so the draw's four lookups
+    (alias_p, alias_j, stay-pdf, alias-pdf) ride ONE row gather; the
+    radiance of both branches is appended inside the traced function
+    (sample_env_draw) so envmap gradients still flow.
     """
 
     alias_p: jnp.ndarray  # [H*W] stay-probability (Vose)
     alias_j: jnp.ndarray  # [H*W] int32 alias texel
     pdf: jnp.ndarray  # [H, W] solid-angle pdf
+    # [H*W, 4]: alias_p | alias_j (as f32) | pdf[texel] | pdf[alias_j]
+    draw_static: jnp.ndarray | None = None
 
 
 def build_env_cdf(env: np.ndarray) -> EnvCDF:
@@ -261,10 +271,16 @@ def build_env_cdf(env: np.ndarray) -> EnvCDF:
         (small if scaled[g] < 1.0 else large).append(g)
     for i in small + large:
         alias_p[i] = 1.0
+    pdf_flat = pdf.reshape(-1)
+    draw_static = np.stack(
+        [alias_p.astype(np.float32), alias_j.astype(np.float32),
+         pdf_flat.astype(np.float32),
+         pdf_flat[alias_j].astype(np.float32)], axis=1)
     return EnvCDF(
         jnp.asarray(alias_p.astype(np.float32)),
         jnp.asarray(alias_j.astype(np.int32)),
         jnp.asarray(pdf.astype(np.float32)),
+        jnp.asarray(draw_static),
     )
 
 
@@ -291,6 +307,118 @@ def sample_env_direction(cdf: EnvCDF, u1, u2):
         [sin_t * jnp.sin(phi), jnp.cos(theta), -sin_t * jnp.cos(phi)], axis=-1
     )
     return d, cdf.pdf.reshape(-1)[texel]
+
+
+def sample_env_draw(cdf: EnvCDF, env0: jnp.ndarray, u1, u2):
+    """One-row-gather NEE draw: ([..., 3] direction, pdf [...],
+    radiance [..., 3]) from the luminance distribution.
+
+    Fuses what took four separate gathers per (ray, bounce) —
+    alias_p[idx], alias_j[idx], pdf[texel], env0[texel] — into ONE
+    [T, 10] row gather (per-row gather cost dominates on v5e; this is
+    the measured 4x on the ladder-3 NEE precompute). The radiance
+    columns come from `env0` (the finest mip) inside the traced
+    function, so d(radiance)/d(env_mips) still flows; radiance is the
+    exact texel value (the former `sample_env_mip_nearest(env0, dir)`
+    round-tripped dir -> uv -> the same texel)."""
+    h, w = cdf.pdf.shape
+    n = h * w
+    flat = env0.reshape(-1, 3)
+    tab = jnp.concatenate(
+        [cdf.draw_static, flat, flat[cdf.alias_j]], axis=1)  # [T, 10]
+    r = jnp.clip(u1, 0.0, np.float32(1.0 - 1e-7)) * n
+    idx = jnp.clip(r.astype(jnp.int32), 0, n - 1)
+    row = tab[idx]  # [..., 10]
+    stay = u2 < row[..., 0]
+    texel = jnp.where(stay, idx, row[..., 1].astype(jnp.int32))
+    pdf = jnp.where(stay, row[..., 2], row[..., 3])
+    rad = jnp.where(stay[..., None], row[..., 4:7], row[..., 7:10])
+    rowi = texel // w
+    col = texel - rowi * w
+    theta = (rowi.astype(jnp.float32) + 0.5) / h * np.pi
+    phi = ((col.astype(jnp.float32) + 0.5) / w - 0.5) * 2.0 * np.pi
+    sin_t = jnp.sin(theta)
+    d = jnp.stack(
+        [sin_t * jnp.sin(phi), jnp.cos(theta), -sin_t * jnp.cos(phi)],
+        axis=-1)
+    return d, pdf, rad
+
+
+def pack_footprint(mip: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, 3] mip -> [H*W, 12] bilinear-footprint rows: the 2x2 texel
+    quad anchored at (y, x) with azimuth wrap on x and pole clamp on y
+    baked in, so one row gather serves a whole bilinear tap (4 taps of
+    3 gathered elements each -> 1 row; per-row gather cost dominates on
+    v5e). Pure jnp so envmap gradients flow through the packing."""
+    xp = jnp.roll(mip, -1, axis=1)          # (x+1 mod W, y)
+    yc = jnp.concatenate([mip[1:], mip[-1:]], axis=0)    # (x, min(y+1,H-1))
+    xyc = jnp.concatenate([xp[1:], xp[-1:]], axis=0)
+    return jnp.concatenate(
+        [mip, xp, yc, xyc], axis=2).reshape(-1, 12)
+
+
+def sample_env_packed(
+    env_mips: Tuple[jnp.ndarray, ...],
+    direction: jnp.ndarray,
+    level: jnp.ndarray,
+) -> jnp.ndarray:
+    """`sample_env` with footprint-packed row gathers: identical taps
+    and blend formulas (images match to float identity), but each
+    bilinear costs ONE row gather instead of four (8 -> 2 gathers per
+    trilinear sky fetch; the deferred sky fetch was measured at 376
+    ms/frame on the 1024^2 ladder-3 config with the tap-wise form)."""
+    if not env_mips:
+        return jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
+    n_mips = len(env_mips)
+    level = jnp.clip(level.astype(jnp.float32), 0.0, float(n_mips - 1))
+
+    sizes = [(int(m.shape[0]), int(m.shape[1])) for m in env_mips]
+    offs = [0]
+    for h, w in sizes:
+        offs.append(offs[-1] + h * w)
+    atlas = jnp.concatenate([pack_footprint(m) for m in env_mips], axis=0)
+    hs = jnp.asarray([h for h, _ in sizes], jnp.float32)
+    ws = jnp.asarray([w for _, w in sizes], jnp.float32)
+    off_arr = jnp.asarray(offs[:-1], jnp.int32)
+
+    if n_mips == 1:
+        l0 = jnp.zeros(direction.shape[:-1], jnp.int32)
+    else:
+        l0 = jnp.clip(jnp.floor(level).astype(jnp.int32), 0, n_mips - 2)
+    frac = (level - l0.astype(jnp.float32))[..., None]
+    u, v = dir_to_equirect_uv(direction)
+
+    def bilin(li):
+        h = jnp.take(hs, li)
+        w = jnp.take(ws, li)
+        off = jnp.take(off_arr, li)
+        wi = w.astype(jnp.int32)
+        hi = h.astype(jnp.int32)
+        fx = u * w - 0.5
+        fy = v * h - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wx = (fx - x0)[..., None]
+        wy = (fy - y0)[..., None]
+        x0i = jnp.mod(x0.astype(jnp.int32), wi)
+        y0u = y0.astype(jnp.int32)
+        y0i = jnp.clip(y0u, 0, hi - 1)
+        # the footprint row bakes y1 = min(y0+1, H-1); above the top
+        # texel center (y0u = -1) both taps must be row 0, which the
+        # stored (row0, row1) pair reproduces with wy forced to 0
+        wy = jnp.where((y0u < 0)[..., None], 0.0, wy)
+        row = atlas[off + y0i * wi + x0i]  # [..., 12]
+        c00, c01 = row[..., 0:3], row[..., 3:6]
+        c10, c11 = row[..., 6:9], row[..., 9:12]
+        top = c00 + (c01 - c00) * wx
+        bot = c10 + (c11 - c10) * wx
+        return top + (bot - top) * wy
+
+    a = bilin(l0)
+    if n_mips == 1:
+        return a
+    b = bilin(jnp.minimum(l0 + 1, n_mips - 1))
+    return a + (b - a) * frac
 
 
 def env_pdf(cdf: EnvCDF, direction: jnp.ndarray) -> jnp.ndarray:

@@ -81,6 +81,38 @@ def configs():
                           ray_chunk_size=4096),
         1,
     )
+
+    # The reference's Testing Scene (scene/testing_scene.py): the
+    # everything-at-once composite (all 62 objects, exact transforms/
+    # materials/priorities from Testing Scene.unity) viewed into its
+    # Cornell group, and the shipped active set through the scene's own
+    # Main Camera. The composite includes the OutdoorsScene's giant
+    # transparent/emissive spheres that enclose the world — heavy
+    # variance by construction, so its golden uses a looser worst-pixel
+    # tolerance (see test_golden.py TOLS).
+    from halogen_tpu.scene.testing_scene import (
+        testing_scene, testing_scene_camera)
+
+    out["testing_composite"] = (
+        testing_scene(all_groups=True).build(
+            envmap=Envmap.gradient_sky()),
+        ht.make_camera(position=(3.48, 1.8, 12.2),
+                       target=(3.48, 1.0, 17.55),
+                       fov_deg=60, near=0.6, far=1000),
+        ht.RenderSettings(width=128, height=128, samples_per_pixel=4,
+                          max_bounces=5, use_envmap=True,
+                          ray_chunk_size=16384),
+        1,
+    )
+    out["testing_active"] = (
+        testing_scene(all_groups=False).build(
+            envmap=Envmap.gradient_sky()),
+        testing_scene_camera(),
+        ht.RenderSettings(width=64, height=64, samples_per_pixel=8,
+                          max_bounces=4, use_envmap=True,
+                          ray_chunk_size=4096),
+        1,
+    )
     return out
 
 

@@ -137,15 +137,15 @@ def test_fused_eligibility_gates():
     assert fused_supported(glass, st)  # in-kernel medium stack
     env_scene = cornell.cornell_box().build(envmap=Envmap.gradient_sky())
     assert fused_supported(env_scene, st.replace(use_envmap=True))
-    # envmap NEE runs fused on the brute tier (in-kernel shadow rays);
-    # big-scene NEE still falls back to the lockstep scheduler
+    # envmap NEE runs fused on the brute tier (in-kernel shadow rays)
+    # AND on the raylet tier (occlusion-mode worklist traversal)
     assert fused_supported(env_scene, st.replace(
         use_envmap=True, env_importance_sampling=True))
     from halogen_tpu.scene.meshes import dragons_hero_scene
     big = dragons_hero_scene(1, tris=1280).build(
         envmap=Envmap.gradient_sky())
     assert fused_supported(big, st.replace(use_envmap=True))
-    assert not fused_supported(big, st.replace(
+    assert fused_supported(big, st.replace(
         use_envmap=True, env_importance_sampling=True))
     # debug views -> lockstep only
     assert not fused_supported(glass, st.replace(
@@ -183,6 +183,39 @@ def test_fused_envmap_matches_lockstep():
     o, d, far, sidx, seed = _rays(settings, w=8)
     ref = trace_rays(scene, o, d, far, sidx, seed, settings).color
     fus = trace_color_fused(scene, o, d, CAM.far, sidx, seed, settings)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fus),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_raylet_env_nee_matches_lockstep():
+    """Big scenes under a sky WITH envmap importance sampling stay on
+    the fused path (VERDICT r4 item 4): the raylet tier's shadow rays
+    run the same in-kernel worklist traversal in occlusion mode. The
+    radiance must match the lockstep tracer's NEE+MIS to float
+    tolerance (the reference's OutdoorsScene configuration: dragon +
+    HDRI, Testing Scene.unity)."""
+    from halogen_tpu.scene import meshes
+
+    scene = meshes.dragons_hero_scene(1, tris=1280).build(
+        envmap=Envmap.gradient_sky())
+    cam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                         fov_deg=45)
+    settings = ht.RenderSettings(width=12, height=12, max_bounces=3,
+                                 use_envmap=True,
+                                 env_importance_sampling=True)
+    assert fused_supported(scene, settings)
+    n = 144
+    pix = jnp.arange(n, dtype=jnp.int32)
+    seed = sob.pixel_seed(pix.astype(jnp.uint32))
+    sidx = sob.sample_index(jnp.uint32(1), jnp.uint32(0),
+                            settings.samples_per_pixel)
+    o, d = generate_rays(cam, pix % 12, pix // 12, 12, 12,
+                         settings.filter_radius, sidx, seed,
+                         sob.ld_sample_2d)
+    far = jnp.broadcast_to(cam.far, (n,))
+    ref = trace_rays(scene, o, d, far, sidx, seed, settings).color
+    fus = trace_color_fused(scene, o, d, cam.far, sidx, seed, settings)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(fus),
                                atol=1e-5, rtol=1e-5)
 
