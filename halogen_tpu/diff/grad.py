@@ -201,20 +201,16 @@ def fit_materials(
             out["env_mips"] = params["env_mips"]
         return out
 
-    if mesh is not None and optimize_env:
-        raise NotImplementedError(
-            "sharded fit optimizes materials only (envmap grads need "
-            "replicated-texture psum plumbing)")
-
     @jax.jit
     def step(params, opt_state, frame):
         if mesh is not None:
             from halogen_tpu.parallel.sharding import loss_and_grads_sharded
 
-            loss, g = loss_and_grads_sharded(
-                params["material_params"], scene, camera, settings,
-                target, frame, mesh)
-            grads = {"material_params": g}
+            # Full fit surface (materials + optional envmap): the envmap
+            # is replicated across the mesh and its texel cotangents ride
+            # the same psum all-reduce as the material grads.
+            loss, grads = loss_and_grads_sharded(
+                params, scene, camera, settings, target, frame, mesh)
         else:
             loss, grads = jax.value_and_grad(
                 lambda p: render_loss(to_render_params(p), scene, camera,

@@ -163,6 +163,12 @@ def loss_and_grads_sharded(
     float-only material param dict as `diff.grad.fit_materials`, so the
     single-device and sharded trainers share one optimizer/projection
     stack (the update itself happens in the caller).
+
+    `mat_params` may be either the flat float-material dict or the full
+    fit surface {"material_params": {...}, "env_mips": (mips...)}: the
+    envmap texture is replicated across the mesh and its texel
+    cotangents ride the same psum all-reduce as the material grads
+    (removes the r4 sharded-fit NotImplementedError).
     """
     from halogen_tpu.diff.grad import with_material_params
 
@@ -216,8 +222,18 @@ def loss_and_grads_sharded(
         spp_combine.defvjp(_combine_fwd, _combine_bwd)
 
         def loss_fn(mp):
-            s = dataclasses.replace(
-                scene, materials=with_material_params(scene.materials, mp))
+            if "material_params" in mp:
+                s = dataclasses.replace(
+                    scene,
+                    materials=with_material_params(
+                        scene.materials, mp["material_params"]),
+                    env_mips=tuple(mp["env_mips"])
+                    if "env_mips" in mp else scene.env_mips,
+                )
+            else:
+                s = dataclasses.replace(
+                    scene,
+                    materials=with_material_params(scene.materials, mp))
             col = render_pixels(
                 s, camera, settings, frame, pix_local,
                 spp_offset=lane * jnp.uint32(spp_local), spp_count=spp_local,
