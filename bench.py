@@ -8,7 +8,7 @@ hardware. Baseline to beat: 100 Mrays/s/chip (BASELINE.json north star).
 Driver-robustness contract (round-2 lesson: rc=124 timeout lost the
 round's perf artifact): the forward JSON line is printed AND flushed the
 moment the forward loop finishes; the fwd+bwd section then runs under an
-internal time budget (BENCH_TIME_BUDGET seconds, default 240) enforced
+internal time budget (BENCH_TIME_BUDGET seconds, default 480) enforced
 with SIGALRM and, if it completes, a second enriched JSON line is
 printed. Both lines share the same schema, so the driver can parse
 either the first or the last line. A persistent JAX compilation cache
@@ -49,7 +49,7 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--bounces", type=int, default=None)
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("BENCH_TIME_BUDGET", 240)))
+                    default=float(os.environ.get("BENCH_TIME_BUDGET", 480)))
     args = ap.parse_args()
     t_start = time.monotonic()
 

@@ -66,6 +66,10 @@ MAX_MATERIALS = 64
 
 LANES = 128
 DEFAULT_SUBLANES = 32  # rays per program = SUBLANES * LANES
+# Raylet-tier block size: on-chip A/B on glass_dragon kept 32 (64 ->
+# 6.19 Mrays/s vs 6.56, and Mosaic compile 204 s vs 46 s — the bigger
+# block body outweighs the denser compaction pool).
+RAYLET_SUBLANES = 32
 
 _HIT_EPS = np.float32(1e-4)
 _OFFSET_EPS = np.float32(1e-4)
@@ -1703,6 +1707,8 @@ def trace_color_fused(
         interpret = jax.default_backend() != "tpu"
     big = scene.num_triangles > MAX_TRIS
     raylet_f = _fused_raylet_f(scene) if big else None
+    if raylet_f is not None and sublanes == DEFAULT_SUBLANES:
+        sublanes = RAYLET_SUBLANES
     if big and raylet_f is None and _fused_treelet_k(scene) is not None:
         # treelet traversal tier: ray blocks must match the treelet
         # tiles' sublane broadcast (kernels/treelet_bvh.RAY_SUB)

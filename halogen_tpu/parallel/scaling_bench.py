@@ -95,9 +95,6 @@ def main(argv=None) -> int:
     return 0
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
-
 
 def run_weak_scaling_bench(base_height=64, width=256, spp=8, bounces=4,
                            frames=2):
@@ -133,6 +130,7 @@ def run_weak_scaling_bench(base_height=64, width=256, spp=8, bounces=4,
     results = []
     t_base = None
     c_base = None
+    reps = 3  # min-of-N: each sample is noisy host-scheduler wall time
     for nd in sizes:
         settings = ht.RenderSettings(
             width=width, height=base_height * nd, samples_per_pixel=spp,
@@ -140,13 +138,15 @@ def run_weak_scaling_bench(base_height=64, width=256, spp=8, bounces=4,
             ray_chunk_size=width * base_height * spp,
         )
         mesh = make_render_mesh(nd, 1, devices=devices[:nd])
-        img = render_frame_sharded(scene, camera, settings, 0, mesh)
+        # Pre-place the replicated inputs on the mesh: otherwise every
+        # timed call re-broadcasts the device-0-committed scene pytree
+        # to all mesh devices (a per-frame host/D2D transfer that grows
+        # with the mesh and is pure overhead, not program cost).
+        repl = NamedSharding(mesh, P())
+        scene_m = jax.device_put(scene, repl)
+        camera_m = jax.device_put(camera, repl)
+        img = render_frame_sharded(scene_m, camera_m, settings, 0, mesh)
         img.block_until_ready()
-        t0 = time.perf_counter()
-        for f in range(frames):
-            img = render_frame_sharded(scene, camera, settings, f + 1, mesh)
-        img.block_until_ready()
-        dt = (time.perf_counter() - t0) / frames
 
         # contention control: per-device fixed batched matmul, no comms
         k = 512
@@ -161,9 +161,22 @@ def run_weak_scaling_bench(base_height=64, width=256, spp=8, bounces=4,
             return jax.lax.fori_loop(0.0, 40.0, body, xs)
 
         work(xs).block_until_ready()
-        t0 = time.perf_counter()
-        work(xs).block_until_ready()
-        ctl = time.perf_counter() - t0
+
+        # Interleaved min-of-N: renderer and control samples alternate
+        # so ambient host load hits both alike; each measurement is the
+        # least-contended sample (standard wall-clock practice on a
+        # shared-core virtual mesh).
+        dt = ctl = float("inf")
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            for f in range(frames):
+                img = render_frame_sharded(scene_m, camera_m, settings,
+                                           rep * frames + f + 1, mesh)
+            img.block_until_ready()
+            dt = min(dt, (time.perf_counter() - t0) / frames)
+            t0 = time.perf_counter()
+            work(xs).block_until_ready()
+            ctl = min(ctl, time.perf_counter() - t0)
 
         if t_base is None:
             t_base, c_base = dt, ctl
@@ -178,3 +191,5 @@ def run_weak_scaling_bench(base_height=64, width=256, spp=8, bounces=4,
                                             1.0), 4),
         })
     return results
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -132,6 +132,12 @@ def render_frame_sharded(
             scene, camera, settings, frame, pix_local,
             spp_offset=lane * jnp.uint32(spp_local), spp_count=spp_local,
         )
+        if n_spp == 1:
+            # no spp sharding -> no collective: a pmean over a
+            # singleton axis still costs an all-reduce launch per
+            # frame, which was most of the weak-scaling program
+            # overhead at 8 devices (perf/scaling.jsonl)
+            return col
         # average the spp shards (all-reduce over the spp axis)
         return jax.lax.pmean(col, "spp")
 
@@ -245,11 +251,16 @@ def loss_and_grads_sharded(
         local_loss, grads = jax.value_and_grad(loss_fn)(mat_params)
         # All-reduce over the full mesh: sum over pixel shards; sum over spp
         # shards too — each lane's grad is its 1/L cotangent share of the
-        # combined-estimate loss, so the total is their sum.
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, "px"), grads)
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, "spp"), grads)
-        loss = jax.lax.psum(local_loss, "px")
-        loss = jax.lax.pmean(loss, "spp")
+        # combined-estimate loss, so the total is their sum. Singleton
+        # axes skip their collective (same reasoning as _shard above).
+        if n_px > 1:
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, "px"), grads)
+            loss = jax.lax.psum(local_loss, "px")
+        else:
+            loss = local_loss
+        if n_spp > 1:
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, "spp"), grads)
+            loss = jax.lax.pmean(loss, "spp")
         denom = 3.0 * settings.num_pixels
         grads = jax.tree.map(lambda g: g / denom, grads)
         return loss / denom, grads

@@ -221,6 +221,57 @@ def main():
         })
 
     # ------------------------------------------------------------------
+    # 1c. Fused RAYLET-tier parity ON TPU (round-5): a >brute-threshold
+    #     scene through the megakernel's in-kernel worklist traversal
+    #     (bf16x3 one-hot gathers + live-ray compaction) vs the
+    #     lockstep scheduler — the missing jsonl key behind PERF.md's
+    #     r4 'fused raylet tier (scripted)' row (ADVICE r4).
+    # ------------------------------------------------------------------
+    if want("parity_fused_raylet"):
+        scene = meshes.glass_dragon_scene().build()
+        dcam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                              fov_deg=45)
+        st = ht.RenderSettings(width=64, height=64, samples_per_pixel=2,
+                               max_bounces=6, ray_chunk_size=4096)
+        a = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            fused=Fused.OFF, intersector=Intersector.BRUTE), 1))
+        b = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            fused=Fused.FORCE), 1))
+        mad = float(np.abs(a - b).max())
+        _record(args.out, {
+            "key": "parity_fused_raylet", "backend": backend,
+            "device": dev, "tris": scene.num_triangles,
+            "max_abs_diff": mad, "mean": float(a.mean()),
+            "ok": bool(mad < 1e-4 and np.isfinite(b).all()),
+        })
+
+    # ------------------------------------------------------------------
+    # 1d. Fused raylet-tier env-NEE parity ON TPU (round-5): big scene
+    #     under a sky WITH importance sampling — occlusion-mode shadow
+    #     traversal in-kernel (the OutdoorsScene configuration).
+    # ------------------------------------------------------------------
+    if want("parity_fused_raylet_nee"):
+        scene = meshes.dragons_hero_scene(2, tris=5120).build(
+            envmap=Envmap.gradient_sky())
+        dcam = ht.make_camera(position=(0, 1.5, 5.0), target=(0, -0.3, 0),
+                              fov_deg=45)
+        st = ht.RenderSettings(width=64, height=64, samples_per_pixel=2,
+                               max_bounces=3, use_envmap=True,
+                               env_importance_sampling=True,
+                               ray_chunk_size=4096)
+        a = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            fused=Fused.OFF, intersector=Intersector.BRUTE), 1))
+        b = np.asarray(ht.render_frame(scene, dcam, st.replace(
+            fused=Fused.FORCE), 1))
+        mad = float(np.abs(a - b).max())
+        _record(args.out, {
+            "key": "parity_fused_raylet_nee", "backend": backend,
+            "device": dev, "tris": scene.num_triangles,
+            "max_abs_diff": mad, "mean": float(a.mean()),
+            "ok": bool(mad < 1e-4 and np.isfinite(b).all()),
+        })
+
+    # ------------------------------------------------------------------
     # 2b''. Raylet per-ray worklist traversal parity ON TPU (round-4) —
     #       includes the one-hot MXU gather bit-exactness on hardware.
     # ------------------------------------------------------------------
