@@ -1952,9 +1952,22 @@ def _diff_fused(settings: RenderSettings):
 
         n = origin.shape[0]
         far_b = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n,))
+        # The replay must stay differentiable end to end: on TPU the
+        # AUTO intersector routes big scenes to standalone Pallas
+        # traversal kernels (no vjp), and the lockstep BVH walk is a
+        # lax.while_loop (no reverse mode either) — pin the dense BRUTE
+        # intersector for the backward (identical radiance, proven by
+        # the intersector parity tests; pure elementwise + reductions,
+        # so reverse-mode is exact; only the backward pays the O(tris)
+        # cost).
+        from halogen_tpu.config import Intersector
+
+        bwd_settings = settings
+        if settings.intersector == Intersector.AUTO:
+            bwd_settings = settings.replace(intersector=Intersector.BRUTE)
         _, vjp = jax.vjp(
             lambda sc, o, d: tr.trace_rays(
-                sc, o, d, far_b, sample_idx, seed, settings).color,
+                sc, o, d, far_b, sample_idx, seed, bwd_settings).color,
             scene, origin, direction,
         )
         d_scene, d_o, d_d = vjp(ct)

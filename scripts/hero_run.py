@@ -104,10 +104,17 @@ def main():
     except ImportError:
         np.savez_compressed(out_dir / "hero.npz", image=acc_np)
 
-    # one sharded inverse-rendering gradient step against the render
-    fit_st = st.replace(samples_per_pixel=max(spp_frame // 4, 2))
+    # one sharded inverse-rendering gradient step against the render.
+    # The step runs at a reduced size: the path-replay backward for a
+    # 26k-tri scene uses the dense BRUTE intersector (the only
+    # reverse-differentiable traversal), whose cost is O(rays x tris).
+    fit_w = min(width, 128)
+    fit_st = st.replace(width=fit_w, height=fit_w,
+                        samples_per_pixel=max(spp_frame // 8, 2),
+                        ray_chunk_size=fit_w * fit_w)
+    tgt_small = jnp.asarray(acc_np[::width // fit_w, ::width // fit_w])
     _, losses = fit_materials(
-        scene, cam, fit_st, jnp.asarray(acc_np), steps=1, lr=1e-2,
+        scene, cam, fit_st, tgt_small, steps=1, lr=1e-2,
         mesh=mesh,
     )
 
