@@ -67,7 +67,6 @@ def adjoint_supported(scene: SceneData, settings: RenderSettings) -> bool:
     """Static eligibility for the fused adjoint backward."""
     return (
         mk.fused_supported(scene, settings)
-        and not scene.any_transmissive
         and scene.num_triangles <= mk.MAX_TRIS
         and not (settings.use_envmap and bool(scene.env_mips))
         and not (settings.env_importance_sampling
@@ -79,8 +78,15 @@ def adjoint_supported(scene: SceneData, settings: RenderSettings) -> bool:
 
 
 def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
-                         num_spheres: int, num_materials: int):
-    """Forward-replay + reverse-sweep kernel for static scene sizes."""
+                         num_spheres: int, num_materials: int,
+                         any_transmissive: bool = False,
+                         stack_depth: int = mk.STACK_DEPTH):
+    """Forward-replay + reverse-sweep kernel for static scene sizes.
+
+    any_transmissive compiles the full nested-dielectric path (medium
+    stack in the forward replay; Beer-Lambert absorption gradients
+    route to the CURRENT medium's material via a second one-hot) —
+    mirroring the forward megakernel's transmissive branch op-for-op."""
     sobol = settings.sampler == SamplerKind.SOBOL
     max_bounces = settings.max_bounces
     lim_d = settings.max_diffuse_bounces
@@ -234,7 +240,11 @@ def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
         # forward replay, storing the per-bounce transcript
         # ------------------------------------------------------------
         def fwd_body(k, carry):
-            (o, d, atten, counts, active) = carry
+            (o, d, atten, counts, active) = carry[:5]
+            if any_transmissive:
+                st_ior, st_ab, st_prio, st_mid, st_size = carry[5:]
+                stack = mk._Stack(list(st_ior), list(st_ab),
+                                  list(st_prio), list(st_mid), st_size)
             active = active != 0
             atten = list(atten)
             counts = list(counts)
@@ -247,6 +257,8 @@ def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
             (al_r, al_g, al_b, alpha, sp_r, sp_g, sp_b, metallic,
              roughness, em_r, em_g, em_b, ior, ab_r, ab_g, ab_b,
              prio_f) = mat_lookup(mat_id)
+            mat_i = mat_id.astype(i32)
+            prio_i = prio_f.astype(i32)
 
             shade = active & is_hit
             entering = orient > 0.0
@@ -258,8 +270,34 @@ def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
                           seed)
             rr = s1(sidx, _U32(sob.DIM_RUSSIAN_ROULETTE) + stride, seed)
 
-            cur_ior = jnp.where(entering, np.float32(1.0), ior)
-            hit_ior = jnp.where(entering, ior, np.float32(1.0))
+            if any_transmissive:
+                # interface tracking (megakernel transmissive branch;
+                # evaluate_material_hit, compute:743-817)
+                internal = (ior, (ab_r, ab_g, ab_b), prio_i, mat_i)
+                uses_tracking = prio_i >= 0
+                true_hit = ((~uses_tracking)
+                            | stack.is_true_hit(prio_i))
+                top0 = stack.top()
+                empty0 = stack.size == 0
+                track_exit = shade & uses_tracking & (~entering)
+                stack_ap = stack.pop_id(mat_i, track_exit)
+                top_ap = stack_ap.top()
+                cur = mk._sel_medium(
+                    entering, top0,
+                    mk._sel_medium(
+                        uses_tracking,
+                        mk._sel_medium(empty0, internal, top0),
+                        internal))
+                hitm = mk._sel_medium(
+                    entering, internal,
+                    mk._sel_medium(uses_tracking, top_ap, top0))
+                track_enter = shade & uses_tracking & entering
+                stack1 = stack_ap.push(internal, track_enter)
+                cur_ior, hit_ior = cur[0], hitm[0]
+            else:
+                true_hit = jnp.ones(shape, bool)
+                cur_ior = jnp.where(entering, np.float32(1.0), ior)
+                hit_ior = jnp.where(entering, ior, np.float32(1.0))
             theta = r1u * _TWO_PI
             cos_phi = 2.0 * r1v - 1.0
             sin_phi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_phi * cos_phi))
@@ -297,29 +335,100 @@ def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
                         refl[1] + (diffuse_dir[1] - refl[1]) * r2,
                         refl[2] + (diffuse_dir[2] - refl[2]) * r2)
             refl_dir = mk._where3(do_spec, spec_dir, diffuse_dir)
-            new_dir = mk._normalize3(refl_dir)
-            new_org = (pos[0] + normal[0] * _OFFSET_EPS,
-                       pos[1] + normal[1] * _OFFSET_EPS,
-                       pos[2] + normal[2] * _OFFSET_EPS)
-            base = mk._where3(do_spec, (sp_r, sp_g, sp_b),
-                              (al_r, al_g, al_b))
-            exit_m = shade & (~entering)
-            beer = tuple(
-                jnp.where(exit_m,
-                          jnp.exp(-(ab_r, ab_g, ab_b)[c] * t_safe), 1.0)
-                for c in range(3))
+            refl_org = (pos[0] + normal[0] * _OFFSET_EPS,
+                        pos[1] + normal[1] * _OFFSET_EPS,
+                        pos[2] + normal[2] * _OFFSET_EPS)
+            refl = (refl[0], refl[1], refl[2])
+            if any_transmissive:
+                # refraction branch (material_BRDF, compute:711-734) —
+                # detached path geometry, but the replay must follow it
+                do_refr = p1u > alpha
+                cos_t = jnp.minimum(-dn, np.float32(1.0))
+                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                eta = cur_ior / hit_ior
+                tir_r = eta * sin_t > 1.0
+                rp = (eta * (d[0] + cos_t * normal[0]),
+                      eta * (d[1] + cos_t * normal[1]),
+                      eta * (d[2] + cos_t * normal[2]))
+                par = -jnp.sqrt(jnp.abs(1.0 - mk._dot3(rp, rp)))
+                refr = (rp[0] + par * normal[0],
+                        rp[1] + par * normal[1],
+                        rp[2] + par * normal[2])
+                refr = mk._where3(tir_r, refl, refr)
+                flip_n = mk._where3(
+                    tir_r, normal, (-normal[0], -normal[1], -normal[2]))
+                sdir_r = (flip_n[0] + rv[0], flip_n[1] + rv[1],
+                          flip_n[2] + rv[2])
+                tiny_r = mk._dot3(sdir_r, sdir_r) < np.float32(1e-16)
+                sdir_r = mk._where3(tiny_r, flip_n, sdir_r)
+                diff_refr = mk._normalize3(sdir_r, eps=np.float32(0.0))
+                refr_dir = (refr[0] + (diff_refr[0] - refr[0]) * r2,
+                            refr[1] + (diff_refr[1] - refr[1]) * r2,
+                            refr[2] + (diff_refr[2] - refr[2]) * r2)
+                refr_org = (pos[0] - normal[0] * _OFFSET_EPS,
+                            pos[1] - normal[1] * _OFFSET_EPS,
+                            pos[2] - normal[2] * _OFFSET_EPS)
+                one = jnp.ones(shape, f32)
+                new_dir = mk._normalize3(
+                    mk._where3(do_refr, refr_dir, refl_dir),
+                    eps=np.float32(1e-20))
+                new_org = mk._where3(do_refr, refr_org, refl_org)
+                base = mk._where3(
+                    do_refr, (one, one, one),
+                    mk._where3(do_spec, (sp_r, sp_g, sp_b),
+                               (al_r, al_g, al_b)))
+                bounce_type = jnp.where(do_refr, 2,
+                                        jnp.where(do_spec, 1, 0))
+                # false hit: pass through behind the surface
+                # (compute:803-808)
+                is_true = shade & true_hit
+                new_org = mk._where3(is_true, new_org, refr_org)
+                new_dir = mk._where3(is_true, new_dir, d)
+                base = mk._where3(is_true, base, (one, one, one))
+                bounce_type = jnp.where(is_true, bounce_type, 2)
+                # bandaid pop (compute:799-802)
+                bandaid = is_true & entering & (bounce_type != 2)
+                stack = stack1.pop_id(mat_i, bandaid)
+                # Beer-Lambert through the CURRENT medium
+                # (compute:810-813): the absorption coefficients are
+                # the medium material's table values, so the reverse
+                # sweep recomputes them from the stored medium id
+                absorbing = shade & (cur[3] != mk._NO_MEDIUM)
+                beer = tuple(
+                    jnp.where(absorbing,
+                              jnp.exp(-cur[1][c] * t_safe), 1.0)
+                    for c in range(3))
+                ab_mat = jnp.where(absorbing, cur[3].astype(f32),
+                                   np.float32(-1.0))
+                do_spec_rec = do_spec & (~do_refr)
+            else:
+                new_dir = mk._normalize3(refl_dir)
+                new_org = refl_org
+                base = mk._where3(do_spec, (sp_r, sp_g, sp_b),
+                                  (al_r, al_g, al_b))
+                exit_m = shade & (~entering)
+                absorbing = exit_m
+                beer = tuple(
+                    jnp.where(exit_m,
+                              jnp.exp(-(ab_r, ab_g, ab_b)[c] * t_safe),
+                              1.0)
+                    for c in range(3))
+                ab_mat = jnp.where(exit_m, mat_id, np.float32(-1.0))
+                bounce_type = jnp.where(do_spec, 1, 0)
+                is_true = shade
+                do_spec_rec = do_spec
             sc_at = tuple(base[c] * beer[c] for c in range(3))
 
             a_prev = tuple(atten)
             atten = [jnp.where(shade, atten[c] * sc_at[c], atten[c])
                      for c in range(3)]
 
-            bounce_type = jnp.where(do_spec, 1, 0)
             counts[0] = counts[0] + jnp.where(
                 shade & (bounce_type == 0), 1, 0)
             counts[1] = counts[1] + jnp.where(
                 shade & (bounce_type == 1), 1, 0)
-            counts[2] = counts[2]
+            counts[2] = counts[2] + jnp.where(
+                shade & (bounce_type == 2), 1, 0)
 
             if use_rr:
                 contribution = jnp.maximum(
@@ -335,26 +444,34 @@ def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
                 killed = jnp.zeros(shape, bool)
                 survive = shade
 
-            # transcript: A_prev rgb | mat | code | t (code packs the
-            # masks the reverse sweep needs)
-            code = (shade.astype(f32) + 2.0 * do_spec.astype(f32)
-                    + 4.0 * exit_m.astype(f32)
-                    + 8.0 * survive.astype(f32))
+            # transcript: A_prev rgb | hit mat | code | t | medium mat
+            # (code packs the masks the reverse sweep needs)
+            code = (shade.astype(f32) + 2.0 * do_spec_rec.astype(f32)
+                    + 4.0 * absorbing.astype(f32)
+                    + 8.0 * survive.astype(f32)
+                    + 16.0 * is_true.astype(f32)
+                    + 32.0 * (shade & (bounce_type == 2)).astype(f32))
             for j, v in enumerate((a_prev[0], a_prev[1], a_prev[2],
-                                   mat_id, code, t_safe)):
+                                   mat_id, code, t_safe, ab_mat)):
                 rec_ref[:, pl.ds(k * _REC_ROWS + j, 1), :] = v[:, None, :]
 
             o = mk._where3(shade, new_org, o)
             d = mk._where3(shade, new_dir, d)
             active = active & is_hit & (~killed)
-            return (o, d, tuple(atten), tuple(counts),
-                    active.astype(i32))
+            out = (o, d, tuple(atten), tuple(counts), active.astype(i32))
+            if any_transmissive:
+                out += (tuple(stack.ior), tuple(stack.ab),
+                        tuple(stack.prio), tuple(stack.mid), stack.size)
+            return out
 
         atten0 = tuple(jnp.ones(shape, f32) for _ in range(3))
         counts0 = tuple(jnp.zeros(shape, i32) for _ in range(3))
-        jax.lax.fori_loop(
-            0, B, fwd_body,
-            (o, d, atten0, counts0, jnp.ones(shape, i32)))
+        carry0 = (o, d, atten0, counts0, jnp.ones(shape, i32))
+        if any_transmissive:
+            stack0 = mk._Stack.create(shape, stack_depth)
+            carry0 += (tuple(stack0.ior), tuple(stack0.ab),
+                       tuple(stack0.prio), tuple(stack0.mid), stack0.size)
+        jax.lax.fori_loop(0, B, fwd_body, carry0)
 
         # ------------------------------------------------------------
         # reverse sweep: propagate the attenuation cotangent gA through
@@ -371,19 +488,35 @@ def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
             mat_id = jnp.reshape(rec(3), shape)
             code = jnp.reshape(rec(4), shape).astype(i32)
             t_safe = jnp.reshape(rec(5), shape)
+            ab_mat = jnp.reshape(rec(6), shape)
             shade = (code & 1) == 1
             spec = (code & 2) == 2
-            exit_m = (code & 4) == 4
+            absorbing = (code & 4) == 4
             survive = (code & 8) == 8
+            is_true = (code & 16) == 16
+            refr = (code & 32) == 32
 
             (al_r, al_g, al_b, alpha, sp_r, sp_g, sp_b, metallic,
-             roughness, em_r, em_g, em_b, ior, ab_r, ab_g, ab_b,
+             roughness, em_r, em_g, em_b, ior, _, _, _,
              prio_f) = mat_lookup(mat_id)
-            base = mk._where3(spec, (sp_r, sp_g, sp_b),
-                              (al_r, al_g, al_b))
+            # the Beer medium's absorption comes from ITS material row
+            # (= the hit material for the opaque exit case; ab_mat = -1
+            # selects nothing and beer stays 1)
+            m_ab = [jnp.zeros(shape, f32) for _ in range(3)]
+            for mi in range(num_materials):
+                selm = ab_mat == np.float32(mi)
+                for c in range(3):
+                    m_ab[c] = jnp.where(selm, mat_ref[mi, 13 + c],
+                                        m_ab[c])
+            one = jnp.ones(shape, f32)
+            base = mk._where3(
+                is_true & (~refr),
+                mk._where3(spec, (sp_r, sp_g, sp_b),
+                           (al_r, al_g, al_b)),
+                (one, one, one))
             beer = tuple(
-                jnp.where(exit_m,
-                          jnp.exp(-(ab_r, ab_g, ab_b)[c] * t_safe), 1.0)
+                jnp.where(absorbing,
+                          jnp.exp(-m_ab[c] * t_safe), 1.0)
                 for c in range(3))
             sc = tuple(base[c] * beer[c] for c in range(3))
             a_post = tuple(
@@ -431,11 +564,12 @@ def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
             g_beer = [g_sc[c] * base[c] for c in range(3)]
             d_e = [jnp.where(shade, ctv[c] * a_prev[c], 0.0)
                    for c in range(3)]
-            d_al = [jnp.where(shade & (~spec), g_base[c], 0.0)
+            surf = shade & is_true & (~refr)
+            d_al = [jnp.where(surf & (~spec), g_base[c], 0.0)
                     for c in range(3)]
-            d_sp = [jnp.where(shade & spec, g_base[c], 0.0)
+            d_sp = [jnp.where(surf & spec, g_base[c], 0.0)
                     for c in range(3)]
-            d_ab = [jnp.where(shade & exit_m,
+            d_ab = [jnp.where(absorbing,
                               -t_safe * beer[c] * g_beer[c], 0.0)
                     for c in range(3)]
 
@@ -444,6 +578,8 @@ def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
                     v[:, None, :])
             mscr_ref[:, 0:1, pl.ds(k * LANES, LANES)] = (
                 mat_id[:, None, :])
+            mscr_ref[:, 1:2, pl.ds(k * LANES, LANES)] = (
+                ab_mat[:, None, :])
             return tuple(gA_prev)
 
         gA0 = tuple(jnp.zeros(shape, f32) for _ in range(3))
@@ -456,30 +592,39 @@ def _make_adjoint_kernel(settings: RenderSettings, num_tris: int,
         iota_k = jax.lax.broadcasted_iota(i32, (num_materials, B * LANES),
                                           0)
 
-        def row_scatter(r, acc):
+        def row_scatter(r, accs):
+            # two routing one-hots: e/albedo/specular follow the HIT
+            # material, absorption follows the BEER MEDIUM's material
+            # (ab_mat; -1 selects nothing)
+            acc9, acc3 = accs
             g_r = jnp.reshape(gscr_ref[pl.ds(r, 1)], (_NGRAD, B * LANES))
-            m_r = jnp.reshape(mscr_ref[pl.ds(r, 1)], (1, B * LANES))
-            oh = (iota_k == m_r.astype(i32)).astype(jnp.bfloat16)
+            ms = jnp.reshape(mscr_ref[pl.ds(r, 1)], (2, B * LANES))
             hi = g_r.astype(jnp.bfloat16)
             r1 = g_r - hi.astype(f32)
             mid = r1.astype(jnp.bfloat16)
             lo = (r1 - mid.astype(f32)).astype(jnp.bfloat16)
-            out = acc
+            oh_m = (iota_k == ms[0:1].astype(i32)).astype(jnp.bfloat16)
+            oh_a = (iota_k == ms[1:2].astype(i32)).astype(jnp.bfloat16)
             for part in (hi, mid, lo):
-                out = out + jax.lax.dot_general(
-                    oh, part, (((1,), (1,)), ((), ())),
+                acc9 = acc9 + jax.lax.dot_general(
+                    oh_m, part[0:9], (((1,), (1,)), ((), ())),
                     preferred_element_type=f32)
-            return out
+                acc3 = acc3 + jax.lax.dot_general(
+                    oh_a, part[9:12], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+            return acc9, acc3
 
-        dmat = jax.lax.fori_loop(
+        dmat9, dmat3 = jax.lax.fori_loop(
             0, S, row_scatter,
-            jnp.zeros((num_materials, _NGRAD), f32))
+            (jnp.zeros((num_materials, 9), f32),
+             jnp.zeros((num_materials, 3), f32)))
 
         @pl.when(pl.program_id(0) == 0)
         def _():
             dmat_ref[:] = jnp.zeros((num_materials, LANES), f32)
 
-        dmat_ref[:, 0:_NGRAD] = dmat_ref[:, 0:_NGRAD] + dmat
+        dmat_ref[:, 0:9] = dmat_ref[:, 0:9] + dmat9
+        dmat_ref[:, 9:12] = dmat_ref[:, 9:12] + dmat3
 
     return kernel
 
@@ -544,7 +689,8 @@ def trace_grad_fused_materials(
     K = scene.materials.count
     B = settings.max_bounces + 1
     kernel = _make_adjoint_kernel(settings, scene.num_triangles,
-                                  scene.num_spheres, K)
+                                  scene.num_spheres, K,
+                                  any_transmissive=scene.any_transmissive)
 
     rows = npad // LANES
     grid = rows // sublanes
@@ -568,7 +714,7 @@ def trace_grad_fused_materials(
         scratch_shapes=[
             pltpu.VMEM((sublanes, B * _REC_ROWS, LANES), jnp.float32),
             pltpu.VMEM((sublanes, _NGRAD, B * LANES), jnp.float32),
-            pltpu.VMEM((sublanes, 1, B * LANES), jnp.float32),
+            pltpu.VMEM((sublanes, 2, B * LANES), jnp.float32),
         ],
         interpret=interpret,
     )(far_arr, tri_tab, trin_tab, sph_tab, mat_tab,

@@ -76,17 +76,22 @@ def test_fused_bounce_limits():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("rr", [False, True])
-def test_fused_gradients_match_lockstep(rr):
+@pytest.mark.parametrize("rr,glass", [
+    (False, False), (True, False), (True, True),
+])
+def test_fused_gradients_match_lockstep(rr, glass):
     """trace_color_fused_diff: fused forward, fused path-replay adjoint
     backward (kernels/adjoint.py) on eligible scenes. Material-parameter
     gradients must equal the lockstep tracer's vjp — including the
-    un-detached Russian-roulette 1/max(atten) chain when rr=True."""
+    un-detached Russian-roulette 1/max(atten) chain (rr=True) and the
+    nested-dielectric path where Beer-Lambert absorption gradients route
+    to the CURRENT medium's material (glass=True)."""
     import dataclasses
 
     from halogen_tpu.kernels import adjoint as adj
 
-    scene = cornell.cornell_box(glossy=True).build()
+    scene = (cornell.glass_sphere_box() if glass
+             else cornell.cornell_box(glossy=True)).build()
     settings = ht.RenderSettings(width=8, height=8, max_bounces=3,
                                  russian_roulette=rr)
     assert adj.adjoint_supported(scene, settings)
